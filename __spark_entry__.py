@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: the full crawl wave loop (frontier +
+politeness + Bloom dedup + Arrow parsing) over the deterministic
+virtual web, returning the extracted items DataFrame.
+
+``queries()`` / ``oracle_sql()`` — the operator registry of
+``crawler_spark/plans/queries*.py``: each implemented operator from
+SURVEY.md §2 (plus the training-data pipeline families) as a
+(spark_fn, DuckDB-oracle-SQL) pair. Non-SQL-expressible entries (the
+iterative crawl loop, IVF probing) omit the oracle → rows-only check;
+their correctness is covered by the pytest oracle suite instead
+(tests/test_crawl_e2e.py compares the engine bit-exact against a
+pure-Python reference crawler).
 """
 
 from __future__ import annotations
@@ -14,25 +21,23 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _registry():
+    from crawler_spark.plans import queries as q1  # noqa: F401 (registers)
+    from crawler_spark.plans import queries_docs as q2  # noqa: F401
+    from crawler_spark.plans.queries import QUERIES
+
+    return QUERIES
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    reg = _registry()
+    return reg["crawl_wave_loop"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: spec.fn for name, spec in _registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: spec.sql for name, spec in _registry().items() if spec.sql is not None}

@@ -1,0 +1,515 @@
+"""The fetch-wave loop — the whole reference crawl cycle as Spark jobs.
+
+Reference lifecycle (SURVEY.md §3.3): seeds → fetch list page → parse →
+per item {dedup gate → fetch detail → extract → item} and {page+1 →
+loop}. One Scrapy process, one event loop, in-memory state.
+
+Ours: the frontier is a DataFrame (durably a LakeStore snapshot per
+wave); each wave is a handful of Spark jobs; all state transitions are
+joins/windows; parsing crosses into Python only through two Arrow
+pandas UDFs. Waves, not streams: the wave barrier is semantically
+required — each wave's discovered links must be checked against the
+seen set as of the wave start (north_rule).
+
+WAVE SEMANTICS (the contract the pure-Python oracle in
+``corpus/oracle.py`` mirrors — any change here must change there):
+
+1. wave k admits, per host, the first B(host) pending rows ordered by
+   ``(discovered_wave, url)``; B = max(1, floor(wave_seconds /
+   crawl_delay)); crawl_delay comes from robots override else config.
+   Non-admitted rows stay pending (deferred).
+2. robots (if enabled) removes disallowed rows before admission,
+   recording them as errors with status 'robots'.
+3. fetch = left join against the pages corpus on exact url; null html
+   => status 'miss' (the errback path, reference
+   ``sizebid_zhaobiao.py:56``), recorded as an error row, dropped.
+4. list rows parse into items (Arrow UDF) → detail candidates:
+   title=trim, publish-date per parse_kind (trim | [:10] |
+   full-width-colon split [1][:10] — reference O6), URL absolutized
+   (O7) or proUrl-coalesced (O8). Candidates keep their parent list
+   url.
+5. dedup gate (O10/E1): a candidate is NEW iff its canonical URL is
+   not in the seen set as of wave start. Within-wave duplicates
+   collapse to one frontier row (but count as new for EVERY parent
+   page in step 6). NEW candidates join the frontier with
+   discovered_wave=k and enter the seen set.
+6. pagination (O12): a list page at page p enqueues page p+1 iff it
+   parsed ≥1 item AND ≥1 of its candidates was NEW in step 5 AND
+   p < max_page. (The reference CRASHES on an empty list page —
+   unbound baseItem, ``sizebid_zhaobiao.py:74`` — we stop instead.)
+   The p+1 row passes the same dedup gate.
+7. detail rows with html extract text (Arrow UDF) and emit one item
+   row joined with config provenance (O9).
+8. loop ends when no rows are pending or max_waves is hit.
+
+Determinism: every ordering above is a total order on (host,
+discovered_wave, url); no step depends on partition count — verified by
+running the same crawl at different ``local[N]`` in the bench.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..canonical import canonicalize_url, canonicalize_url_col, host_of, host_of_py
+from ..config import SITES, SiteConfig, crawl_config_df
+from ..functions.parsing import extract_text, parse_list
+from ..operators import dedup as dd
+from ..operators.politeness import admit_per_host, host_budget, pop_order
+from ..operators.robots import apply_robots
+from ..state.lakestore import LakeStore
+
+FRONTIER_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("canon", T.StringType(), False),
+        T.StructField("url_hash", T.LongType(), False),
+        T.StructField("host", T.StringType(), False),
+        T.StructField("source", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),       # 'list' | 'detail'
+        T.StructField("page", T.IntegerType(), True),       # list rows
+        T.StructField("tpl", T.StringType(), True),         # list rows
+        T.StructField("discovered_wave", T.IntegerType(), False),
+        T.StructField("title", T.StringType(), True),       # detail rows
+        T.StructField("publish_time", T.StringType(), True),
+        T.StructField("origin_url", T.StringType(), True),
+    ]
+)
+
+SEEN_SCHEMA = T.StructType(
+    [
+        T.StructField("canon", T.StringType(), False),
+        T.StructField("url_hash", T.LongType(), False),
+    ]
+)
+
+ITEMS_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("source", T.StringType(), False),
+        T.StructField("title", T.StringType(), True),
+        T.StructField("publish_time", T.StringType(), True),
+        T.StructField("origin_url", T.StringType(), True),
+        T.StructField("province", T.StringType(), True),
+        T.StructField("city", T.StringType(), True),
+        T.StructField("county", T.StringType(), True),
+        T.StructField("site_name", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("wave", T.IntegerType(), False),
+    ]
+)
+
+ERRORS_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("source", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("wave", T.IntegerType(), False),
+        T.StructField("status", T.StringType(), False),
+    ]
+)
+
+POPS_SCHEMA = T.StructType(
+    [
+        T.StructField("pop_seq", T.IntegerType(), False),
+        T.StructField("wave", T.IntegerType(), False),
+        T.StructField("url", T.StringType(), False),
+    ]
+)
+
+METRICS_SCHEMA = T.StructType(
+    [
+        T.StructField("wave", T.IntegerType(), False),
+        T.StructField("pending", T.LongType(), False),
+        T.StructField("admitted", T.LongType(), False),
+        T.StructField("fetched_ok", T.LongType(), False),
+        T.StructField("missed", T.LongType(), False),
+        T.StructField("items", T.LongType(), False),
+        T.StructField("new_urls", T.LongType(), False),
+    ]
+)
+
+
+@dataclass
+class CrawlParams:
+    wave_seconds: float = 8.0
+    max_waves: int = 200
+    obey_robots: bool = False
+    use_bloom: bool = True
+    n_shards: int = 64
+    bloom_bits_per_shard: int = 1 << 17   # 16 KiB/shard; plenty at sandbox scale
+    n_salts: int = 16                      # politeness skew split
+    record_order: bool = True              # pop_seq bookkeeping (test scale)
+
+
+@dataclass
+class CrawlResult:
+    items: DataFrame
+    errors: DataFrame
+    pops: DataFrame | None
+    metrics: list[dict]
+    seen: DataFrame
+    waves: int
+
+
+def seed_frontier(spark: SparkSession, sites: tuple[SiteConfig, ...]) -> DataFrame:
+    rows = []
+    for s in sites:
+        for tpl in s.seed_templates:
+            url = tpl.format(page=1)
+            canon = canonicalize_url(url)
+            rows.append(
+                (url, canon, 0, host_of_py(url), s.source, "list", 1, tpl, 0,
+                 None, None, None)
+            )
+    df = spark.createDataFrame(rows, FRONTIER_SCHEMA)
+    return df.withColumn("url_hash", F.xxhash64("canon"))
+
+
+_VERBOSE = bool(os.environ.get("CRAWLER_SPARK_VERBOSE"))
+_t_last = [0.0]
+
+
+def _tick(label: str) -> None:
+    if _VERBOSE:
+        import time as _t
+
+        now = _t.time()
+        dt = now - _t_last[0] if _t_last[0] else 0.0
+        _t_last[0] = now
+        print(f"[crawl:step] {label} (+{dt:.2f}s)", flush=True)
+
+
+def _checkpointed(df: DataFrame) -> DataFrame:
+    """Truncate lineage between waves (iterative algorithm on DataFrames
+    grows the plan unboundedly otherwise)."""
+    return df.localCheckpoint(eager=True)
+
+
+def _scratch(df: DataFrame, pool: list) -> DataFrame:
+    """Materialize a wave-local intermediate: persisted for reuse within
+    the wave, explicitly unpersisted at wave end (its lineage is bounded
+    — it roots at the wave-start checkpointed state), so executor/driver
+    block state does not accumulate across hundreds of waves."""
+    df = df.persist()
+    df.count()
+    pool.append(df)
+    return df
+
+
+def crawl(
+    spark: SparkSession,
+    pages: DataFrame,
+    params: CrawlParams | None = None,
+    sites: tuple[SiteConfig, ...] = SITES,
+    store: LakeStore | None = None,
+    robots_rules: DataFrame | None = None,
+    resume: bool = False,
+) -> CrawlResult:
+    params = params or CrawlParams()
+    config = crawl_config_df(spark, sites)
+    pages_slim = pages.select("url", "html")  # column pruning: never drag text/lang
+
+    # ---- state init / resume ---------------------------------------------
+    wave = 0
+    pop_base = 0
+    metrics: list[dict] = []
+    if resume and store is not None and (ckpt := store.load_checkpoint()):
+        wave = int(ckpt["wave"])
+        pop_base = int(ckpt.get("pop_base", 0))
+        store.drop_uncommitted("items")
+        store.drop_uncommitted("errors")
+        store.drop_uncommitted("pops")
+        frontier = store.read(spark, "frontier", FRONTIER_SCHEMA)
+        seen = store.read(spark, "seen", SEEN_SCHEMA)
+        shards = store.read(spark, "shards", dd.SHARD_SCHEMA) if params.use_bloom else None
+    else:
+        frontier = seed_frontier(spark, sites)
+        seen = frontier.select("canon", "url_hash")
+        shards = (
+            dd.update_shards(
+                dd.empty_shards(spark, params.n_shards, params.bloom_bits_per_shard),
+                seen.select("url_hash"),
+                params.n_shards,
+                params.bloom_bits_per_shard,
+            )
+            if params.use_bloom
+            else None
+        )
+        if store is not None:
+            store.overwrite_latest(frontier, "frontier", "w0")
+            store.overwrite_latest(seen, "seen", "w0")
+            if shards is not None:
+                store.overwrite_latest(shards, "shards", "w0")
+            store.save_checkpoint({"wave": 0, "pop_base": 0})
+
+    frontier = _checkpointed(frontier)
+    seen = _checkpointed(seen)
+    if shards is not None:
+        shards = _checkpointed(shards)
+
+    items_acc: list[DataFrame] = []
+    errors_acc: list[DataFrame] = []
+    pops_acc: list[DataFrame] = []
+
+    cfg_cols = F.broadcast(
+        config.select(
+            "source", "parse_kind", "contents_base_url", "max_page",
+            F.col("crawl_delay").alias("cfg_delay"),
+            "province", "city", "county", "site_name",
+        )
+    )
+
+    while wave < params.max_waves:
+        pending = frontier.count()
+        if pending == 0:
+            break
+        wave += 1
+        _tick(f"wave {wave} begin (pending={pending})")
+
+        f = frontier.join(cfg_cols, "source", "left")
+        wave_errors: list[DataFrame] = []
+
+        # robots gate (flag-gated; reference itself does not obey robots)
+        if params.obey_robots and robots_rules is not None:
+            f = apply_robots(f, robots_rules)
+            denied = f.filter(~F.col("robots_allowed"))
+            wave_errors.append(
+                denied.select(
+                    "url", "source", "kind", F.lit(wave).alias("wave"),
+                    F.lit("robots").alias("status"),
+                )
+            )
+            f = f.filter(F.col("robots_allowed")).withColumn(
+                "eff_delay", F.coalesce(F.col("robots_delay"), F.col("cfg_delay"))
+            ).drop("robots_allowed", "robots_delay")
+        else:
+            f = f.withColumn("eff_delay", F.col("cfg_delay"))
+
+        f = f.withColumn("budget", host_budget(params.wave_seconds, F.col("eff_delay")))
+        marked = admit_per_host(f, "budget", n_salts=params.n_salts)
+        admitted = marked.filter(F.col("admitted")).drop("admitted", "budget", "eff_delay")
+        deferred = marked.filter(~F.col("admitted")).select(*[c.name for c in FRONTIER_SCHEMA])
+        _tick("admit")
+
+        if params.record_order:
+            pops = pop_order(admitted, wave, pop_base)
+            pops = _checkpointed(pops)
+            n_admitted = pops.count()
+            pop_base += n_admitted
+            pops_acc.append(pops)
+        else:
+            n_admitted = None
+
+        # ---- fetch: equi-join against the corpus (O2) --------------------
+        scratch_pool: list[DataFrame] = []
+        fetched = admitted.join(pages_slim, "url", "left")
+        fetched = _scratch(fetched, scratch_pool)
+        _tick("fetch_ckpt")
+
+        misses = fetched.filter(F.col("html").isNull())
+        wave_errors.append(
+            misses.select(
+                "url", "source", "kind", F.lit(wave).alias("wave"),
+                F.lit("miss").alias("status"),
+            )
+        )
+        werr = _checkpointed(_union_all(spark, wave_errors, ERRORS_SCHEMA))
+        _tick("errors_ckpt")
+        errors_acc.append(werr)
+
+        # ---- list branch: parse + candidates (O3-O8) ---------------------
+        lists = fetched.filter((F.col("kind") == "list") & F.col("html").isNotNull())
+        parsed = lists.withColumn("anns", parse_list(F.col("html"), F.col("parse_kind")))
+        parsed = _scratch(
+            parsed.select(
+                F.col("url").alias("parent_url"), "source", "page", "tpl",
+                "parse_kind", "contents_base_url", "max_page", "anns",
+            ),
+            scratch_pool,
+        )
+        _tick("parse_ckpt")
+
+        ann = parsed.select(
+            "parent_url", "source", "parse_kind", "contents_base_url",
+            F.explode("anns").alias("a"),
+        )
+        detail_url = F.when(
+            F.col("parse_kind") == "json_dz100",
+            F.when(
+                F.col("a.pro_url").isNotNull() & (F.col("a.pro_url") != ""),
+                F.col("a.pro_url"),
+            ).otherwise(
+                F.replace(
+                    F.col("contents_base_url"), F.lit("{id}"),
+                    F.col("a.item_id").cast("string"),
+                )
+            ),
+        ).otherwise(
+            F.when(
+                F.col("a.href").startswith("http"), F.col("a.href")
+            ).otherwise(F.concat(F.col("contents_base_url"), F.col("a.href")))
+        )
+        pub = (
+            F.when(F.col("parse_kind") == "json_dz100", F.substring(F.col("a.raw_time"), 1, 10))
+            .when(
+                F.col("parse_kind") == "xpath_zybtp",
+                F.substring(F.split(F.col("a.raw_time"), "：").getItem(1), 1, 10),
+            )
+            .otherwise(F.trim(F.col("a.raw_time")))
+        )
+        cand = ann.select(
+            "parent_url",
+            detail_url.alias("url"),
+            "source",
+            F.trim(F.col("a.title")).alias("title"),
+            pub.alias("publish_time"),
+            F.col("a.origin_url").alias("origin_url"),
+        ).withColumn("canon", canonicalize_url_col(F.col("url"))).withColumn(
+            "url_hash", F.xxhash64("canon")
+        ).withColumn("host", host_of(F.col("url")))
+
+        # ---- dedup gate (O10/E1): NEW = not seen at wave start -----------
+        fresh = dd.filter_new(cand, seen, shards, params.n_shards, params.bloom_bits_per_shard)  # keeps parent_url per citing page
+        fresh = _scratch(fresh, scratch_pool)
+        _tick("dedup_fresh_ckpt")
+
+        new_per_parent = fresh.groupBy("parent_url").agg(F.count("*").alias("new_n"))
+        new_detail = (
+            fresh.dropDuplicates(["canon"])
+            .select(
+                "url", "canon", "url_hash", "host", "source",
+                F.lit("detail").alias("kind"),
+                F.lit(None).cast("int").alias("page"),
+                F.lit(None).cast("string").alias("tpl"),
+                F.lit(wave).alias("discovered_wave"),
+                "title", "publish_time", "origin_url",
+            )
+        )
+
+        # ---- pagination (O12) --------------------------------------------
+        page_stats = (
+            parsed.select("parent_url", "source", "page", "tpl", "max_page",
+                          F.size("anns").alias("n_items"))
+            .join(new_per_parent, "parent_url", "left")
+            .fillna({"new_n": 0})
+        )
+        next_pages = (
+            page_stats.filter(
+                (F.col("n_items") > 0)
+                & (F.col("new_n") > 0)
+                & (F.col("page") < F.col("max_page"))
+            )
+            .select(
+                F.replace(
+                    F.col("tpl"), F.lit("{page}"),
+                    (F.col("page") + 1).cast("string"),
+                ).alias("url"),
+                "source",
+                (F.col("page") + 1).alias("page"),
+                "tpl",
+            )
+            .withColumn("canon", canonicalize_url_col(F.col("url")))
+            .withColumn("url_hash", F.xxhash64("canon"))
+            .withColumn("host", host_of(F.col("url")))
+            .select(
+                "url", "canon", "url_hash", "host", "source",
+                F.lit("list").alias("kind"), "page", "tpl",
+                F.lit(wave).alias("discovered_wave"),
+                F.lit(None).cast("string").alias("title"),
+                F.lit(None).cast("string").alias("publish_time"),
+                F.lit(None).cast("string").alias("origin_url"),
+            )
+        )
+        new_pages = dd.filter_new(next_pages, seen, shards, params.n_shards, params.bloom_bits_per_shard)
+        _tick("next_pages_built")
+
+        new_frontier = new_detail.unionByName(new_pages.select(*new_detail.columns))
+        new_frontier = _checkpointed(new_frontier)
+        _tick("new_frontier_ckpt")
+
+        # ---- detail branch: extract + sink (O11, O9) ---------------------
+        details = fetched.filter((F.col("kind") == "detail") & F.col("html").isNotNull())
+        wave_items = details.select(
+            "url", "source", "title", "publish_time", "origin_url",
+            "province", "city", "county", "site_name",
+            extract_text(F.col("html")).alias("text"),
+            F.lit(wave).alias("wave"),
+        )
+        wave_items = _checkpointed(wave_items)
+        _tick("items_ckpt")
+        items_acc.append(wave_items)
+
+        # ---- state transition --------------------------------------------
+        seen = _checkpointed(seen.unionByName(new_frontier.select("canon", "url_hash")))
+        _tick("seen_ckpt")
+        if shards is not None:
+            shards = _checkpointed(
+                dd.update_shards(
+                    shards, new_frontier.select("url_hash"),
+                    params.n_shards, params.bloom_bits_per_shard,
+                )
+            )
+            _tick("shards_ckpt")
+        frontier = _checkpointed(deferred.unionByName(new_frontier))
+        _tick("frontier_ckpt")
+
+        n_miss = misses.count()
+        n_items = wave_items.count()
+        n_new = new_frontier.count()
+        _tick("counts")
+        n_admitted = n_admitted if n_admitted is not None else (pending - deferred.count())
+        metrics.append(
+            {
+                "wave": wave, "pending": pending, "admitted": n_admitted,
+                "fetched_ok": n_admitted - n_miss, "missed": n_miss,
+                "items": n_items, "new_urls": n_new,
+            }
+        )
+        for df in scratch_pool:
+            df.unpersist()
+        if os.environ.get("CRAWLER_SPARK_VERBOSE"):
+            import time as _time
+            print(f"[crawl] {_time.strftime('%H:%M:%S')} {metrics[-1]}", flush=True)
+
+        # ---- durable commit (idempotent; see lakestore docstring) --------
+        if store is not None:
+            cid = f"w{wave}"
+            store.append(wave_items, "items", cid)
+            store.append(werr, "errors", cid)
+            if params.record_order:
+                store.append(pops_acc[-1], "pops", cid)
+            store.append(
+                spark.createDataFrame([tuple(metrics[-1].values())], METRICS_SCHEMA),
+                "metrics", cid,
+            )
+            store.overwrite_latest(frontier, "frontier", cid)
+            store.overwrite_latest(seen, "seen", cid)
+            if shards is not None:
+                store.overwrite_latest(shards, "shards", cid)
+            store.save_checkpoint({"wave": wave, "pop_base": pop_base})
+            # re-read state so each wave starts from durable parquet
+            frontier = store.read(spark, "frontier", FRONTIER_SCHEMA)
+            seen = store.read(spark, "seen", SEEN_SCHEMA)
+            if shards is not None:
+                shards = store.read(spark, "shards", dd.SHARD_SCHEMA)
+
+    items = _union_all(spark, items_acc, ITEMS_SCHEMA)
+    errors = _union_all(spark, errors_acc, ERRORS_SCHEMA)
+    pops = _union_all(spark, pops_acc, POPS_SCHEMA) if params.record_order else None
+    return CrawlResult(items=items, errors=errors, pops=pops, metrics=metrics,
+                       seen=seen, waves=wave)
+
+
+def _union_all(spark: SparkSession, dfs: list[DataFrame], schema: T.StructType) -> DataFrame:
+    if not dfs:
+        return spark.createDataFrame([], schema)
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out

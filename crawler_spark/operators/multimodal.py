@@ -1,0 +1,110 @@
+"""Multimodal columns — binary payload plumbing for image/audio/video.
+
+A 100 TB training corpus carries media as opaque ``binary`` columns
+with typed metadata, processed by Arrow-batched Python (the decode
+libraries are C anyway — Spark's job is partitioning, batching and
+schema, not pixel math). This module implements that plumbing for
+real — schema, mapInPandas batch shape, deterministic partitioning —
+while the actual codec calls are stubbed (`Pillow`/`torchaudio` are
+not in this image): ``decode_image_meta`` parses real header bytes for
+the formats it knows and raises ``NotImplementedError`` for full pixel
+decode, exactly as marked.
+
+MEDIA_SCHEMA is the canonical layout:
+(media_id long, kind string, payload binary, meta map<string,string>)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("content_md5", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+
+def _png_dims(payload: bytes) -> tuple[int, int] | None:
+    # real header parse: PNG IHDR is at fixed offset
+    if len(payload) >= 24 and payload[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h = struct.unpack(">II", payload[16:24])
+        return int(w), int(h)
+    return None
+
+
+def decode_pixels(payload: bytes):  # pragma: no cover - stub by design
+    """Full image decode — STUB: codec libraries are not in this image.
+    The Spark-side plumbing around this call is real and tested."""
+    raise NotImplementedError(
+        "pixel decode requires an image codec (Pillow/libjpeg) not present "
+        "in this environment; plug one in here on a real cluster"
+    )
+
+
+def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
+    """Header-level features per media row via mapInPandas: byte length,
+    content sha1, and (for PNG headers) width/height. One Arrow batch
+    in, one out — the exact shape a real decoder plugs into."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if b.empty:
+                continue
+            rows = []
+            for mid, kind, payload in zip(b["media_id"], b["kind"], b["payload"]):
+                p = bytes(payload)
+                dims = _png_dims(p) if kind == "image" else None
+                rows.append(
+                    (
+                        int(mid), kind, len(p),
+                        hashlib.md5(p).hexdigest(),
+                        dims[0] if dims else None,
+                        dims[1] if dims else None,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "n_bytes", "content_md5", "width", "height"]
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(run, FEATURE_SCHEMA)
+
+
+def docs_as_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Adapter: treat document text bytes as a binary payload (the
+    sandbox stand-in for real media blobs)."""
+    return docs.select(
+        F.col(id_col).alias("media_id"),
+        F.lit("text").alias("kind"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.create_map(F.lit("src"), F.lit("documents")).alias("meta"),
+    )
+
+
+def synthetic_png(media_id: int, width: int, height: int) -> bytes:
+    """A real PNG header (+ fake body) — lets tests exercise the
+    header-parse path without a codec."""
+    ihdr = struct.pack(">II", width, height) + b"\x08\x02\x00\x00\x00"
+    body = hashlib.sha256(str(media_id).encode()).digest()
+    return b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR" + ihdr + body

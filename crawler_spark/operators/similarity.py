@@ -1,0 +1,155 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, per the scale story:
+
+- :func:`brute_force_topk` — exact cosine top-k: one scan, JVM-side
+  ``zip_with``/``aggregate`` dot products (no Python), a single top-k
+  window. 100 TB story: the scan is embarrassingly parallel; the top-k
+  is a tiny shuffle of per-partition winners (AQE coalesces).
+- :func:`ivf_topk` — IVF-style coarse quantization: centroids from a
+  ``label`` (cluster) column (or any precomputed assignment), probe
+  only the nearest ``n_probe`` cells. At 10^9 vectors this scans
+  1/n_cells of the data per query; the centroid table is
+  broadcast-sized by construction.
+
+Dot products stay in whole-stage codegen: ``F.zip_with`` multiply +
+``F.aggregate`` sum. A Pandas-UDF matrix path (numpy GEMM per Arrow
+batch) is in ``batch_topk_pandas`` for many-query workloads, where
+BLAS beats codegen.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_ids: Sequence[int] = (),
+) -> DataFrame:
+    """Exact top-k by cosine vs one query vector. Deterministic
+    tie-break on id. Returns (id, sim) with sim rounded to 6 dp."""
+    q = F.lit(query_vec).cast("array<double>")
+    e = F.col(vec_col).cast("array<double>")
+    scored = embeddings.select(
+        F.col(id_col),
+        F.round(cosine(e, q), 6).alias("sim"),
+    )
+    if exclude_ids:
+        scored = scored.filter(~F.col(id_col).isin(*exclude_ids))
+    w = Window.orderBy(F.col("sim").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "sim", "rank")
+    )
+
+
+def centroids_by(
+    embeddings: DataFrame, cell_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Mean vector per cell — posexplode + groupBy(cell, pos) keeps the
+    aggregation shuffle-parallel across dimensions (no per-cell Python)."""
+    dim = F.posexplode(F.col(vec_col).cast("array<double>"))
+    flat = embeddings.select(F.col(cell_col).alias("cell"), dim.alias("pos", "v"))
+    per_dim = flat.groupBy("cell", "pos").agg(F.avg("v").alias("m"))
+    return (
+        per_dim.groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("cell", F.transform("pm", lambda s: s["m"]).alias("centroid"))
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 5,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """IVF search: rank cells by centroid cosine, scan the best n_probe
+    cells only. Approximate (misses neighbors outside probed cells) —
+    that is the point at scale."""
+    cents = centroids_by(embeddings, cell_col, vec_col)
+    q = F.lit(query_vec).cast("array<double>")
+    best_cells = [
+        r["cell"]
+        for r in cents.select(
+            "cell", cosine(F.col("centroid"), q).alias("s")
+        )
+        .orderBy(F.col("s").desc(), F.col("cell").asc())
+        .limit(n_probe)
+        .collect()
+    ]
+    subset = embeddings.filter(F.col(cell_col).isin(best_cells))
+    return brute_force_topk(subset, query_vec, k, id_col, vec_col)
+
+
+def batch_topk_pandas(
+    embeddings: DataFrame,
+    queries: np.ndarray,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Many-queries path: per Arrow batch, one numpy GEMM against all
+    queries, local top-k per partition, exact global top-k by window.
+    queries: (Q, d) float64, assumed L2-normalized by caller."""
+    out_schema = T.StructType(
+        [
+            T.StructField("query_idx", T.IntegerType()),
+            T.StructField(id_col, T.LongType()),
+            T.StructField("sim", T.DoubleType()),
+        ]
+    )
+    qmat = queries.astype(np.float64)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if b.empty:
+                continue
+            mat = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            sims = mat @ qmat.T  # (n, Q)
+            n_local = min(k, sims.shape[0])
+            idx = np.argpartition(-sims, n_local - 1, axis=0)[:n_local]
+            rows = []
+            for qi in range(qmat.shape[0]):
+                for i in idx[:, qi]:
+                    rows.append((qi, int(b[id_col].iloc[i]), float(np.round(sims[i, qi], 6))))
+            yield pd.DataFrame(rows, columns=["query_idx", id_col, "sim"])
+
+    local = embeddings.select(id_col, vec_col).mapInPandas(score, out_schema)
+    w = Window.partitionBy("query_idx").orderBy(F.col("sim").desc(), F.col(id_col).asc())
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

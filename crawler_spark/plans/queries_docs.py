@@ -1,0 +1,401 @@
+"""Query registry, part 2: training-data pipeline operators.
+
+Dedup families / similarity / text analysis / multimodal over the
+``documents`` and ``embeddings`` tables, each with a DuckDB oracle that
+recomputes the SAME normative spec (functions/text.py) in pure SQL —
+DuckDB's ``list_reduce``/``list_transform`` mirror Spark's
+``aggregate``/``transform`` fold semantics, so even the hash chains
+compare bit-exact.
+
+Shared SQL fragments (tokens / poly-hash / shingles) are assembled from
+the constants in functions/text.py so the two implementations cannot
+drift silently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as X
+from ..operators import dedup_docs as DD
+from ..operators import multimodal as MM
+from ..operators import similarity as SIM
+from .queries import q, t
+
+MOD, BASE = X.MOD, X.BASE
+
+# --- SQL building blocks (DuckDB) ------------------------------------------
+
+SQL_TOKENS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+# poly_hash of an arbitrary string expression {s}: left fold over chars
+def sql_poly_hash(s: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(regexp_extract_all({s}, '[\\s\\S]'), c -> CAST(ascii(c) AS BIGINT))), "
+        f"(a, b) -> (a * {BASE} + b) % {MOD})"
+    )
+
+
+SQL_SHINGLES = (
+    f"CASE WHEN len({SQL_TOKENS}) < 3 THEN [] ELSE "
+    f"list_transform(generate_series(1, len({SQL_TOKENS}) - 2), "
+    f"i -> {SQL_TOKENS}[i] || ' ' || {SQL_TOKENS}[i+1] || ' ' || {SQL_TOKENS}[i+2]) END"
+)
+
+
+# ===========================================================================
+# text analysis
+# ===========================================================================
+
+@q(
+    "doc_token_count",
+    f"""
+    SELECT doc_id, len({SQL_TOKENS}) AS n_tokens, n_chars
+    FROM documents ORDER BY doc_id
+    """,
+    "token counting (training-pipeline text analysis)",
+)
+def doc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", X.token_count(F.col("text")).alias("n_tokens"), "n_chars"
+    ).orderBy("doc_id")
+
+
+@q(
+    "doc_quality_score",
+    f"""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(len({SQL_TOKENS}) AS DOUBLE) AS n_tok,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS DOUBLE) AS n_punct,
+             CAST(len(list_filter({SQL_TOKENS},
+                  x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE) AS sw
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_tok AS BIGINT) AS n_tokens,
+           round(CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0 END, 6) AS punct_ratio,
+           round(CASE WHEN n_tok > 0 THEN sw / n_tok ELSE 0 END, 6) AS stopword_ratio,
+           round(0.4 * least(1.0, n_tok / 100.0)
+               + 0.3 * (1.0 - CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0 END)
+               + 0.3 * least(1.0, 4.0 * CASE WHEN n_tok > 0 THEN sw / n_tok ELSE 0 END), 6)
+             AS quality_score
+    FROM f ORDER BY doc_id
+    """,
+    "quality scoring: length/punct/stopword ratios (text analysis)",
+)
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    cols = X.quality_cols(F.col("text"))
+    return d.select("doc_id", *[c.alias(n) for n, c in cols.items()]).orderBy("doc_id")
+
+
+@q(
+    "doc_langid",
+    f"""
+    WITH c AS (
+      SELECT doc_id, lang AS lang_given,
+             len(list_filter({SQL_TOKENS}, x -> x IN ('the','a','of'))) AS c_en,
+             len(list_filter({SQL_TOKENS}, x -> x IN ('der','die','und'))) AS c_de,
+             len(list_filter({SQL_TOKENS}, x -> x IN ('el','los','y'))) AS c_es,
+             len(list_filter({SQL_TOKENS}, x -> x IN ('le','les','et'))) AS c_fr
+      FROM documents
+    )
+    SELECT doc_id, lang_given,
+           CASE WHEN greatest(c_en, c_de, c_es, c_fr) = 0 THEN 'und'
+                WHEN c_en = greatest(c_en, c_de, c_es, c_fr) THEN 'en'
+                WHEN c_de = greatest(c_en, c_de, c_es, c_fr) THEN 'de'
+                WHEN c_es = greatest(c_en, c_de, c_es, c_fr) THEN 'es'
+                ELSE 'fr' END AS lang_pred
+    FROM c ORDER BY doc_id
+    """,
+    "language ID: marker-word heuristic (text analysis)",
+)
+def doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.col("lang").alias("lang_given"),
+        X.langid_col(F.col("text")).alias("lang_pred"),
+    ).orderBy("doc_id")
+
+
+@q(
+    "doc_fingerprint",
+    f"""
+    SELECT doc_id, {sql_poly_hash('text')} AS fp
+    FROM documents ORDER BY doc_id
+    """,
+    "document fingerprinting: rolling polynomial hash (text analysis)",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", X.poly_hash(F.col("text")).alias("fp")).orderBy("doc_id")
+
+
+# ===========================================================================
+# dedup families
+# ===========================================================================
+
+@q(
+    "dedup_exact_md5",
+    """
+    SELECT md5(text) AS text_md5, count(*) AS n_copies, min(doc_id) AS keep_id
+    FROM documents GROUP BY md5(text) ORDER BY text_md5
+    """,
+    "exact dedup: hash-groupBy, deterministic representative",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.exact_dedup(t(spark, sf_dir, "documents")).orderBy("text_md5")
+
+
+def _sql_minhash_select() -> str:
+    parts = []
+    for i, (a, b) in enumerate(X.MINHASH_PERMS):
+        parts.append(
+            f"list_min(list_transform(sh, h -> ({a} * h + {b}) % {MOD})) AS mh{i}"
+        )
+    return ",\n           ".join(parts)
+
+
+_SQL_SHINGLE_HASHES = (
+    f"list_transform({SQL_SHINGLES}, s -> {sql_poly_hash('s')})"
+)
+
+
+@q(
+    "dedup_minhash_signatures",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, {_SQL_SHINGLE_HASHES} AS sh FROM documents
+    )
+    SELECT doc_id,
+           {_sql_minhash_select()}
+    FROM sh WHERE len(sh) > 0 ORDER BY doc_id
+    """,
+    "MinHash: 8 permutation-min signatures over 3-token shingles",
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.minhash_signatures(t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@q(
+    "dedup_minhash_lsh_pairs",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, {_SQL_SHINGLE_HASHES} AS sh FROM documents
+    ), sig AS (
+      SELECT doc_id, {_sql_minhash_select()} FROM sh WHERE len(sh) > 0
+    ), bucketed AS (
+      SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7,
+             '0_' || mh0 || '_' || mh1 AS b0, '1_' || mh2 || '_' || mh3 AS b1,
+             '2_' || mh4 || '_' || mh5 AS b2, '3_' || mh6 || '_' || mh7 AS b3
+      FROM sig
+    ), unp AS (
+      SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7, b0 AS bucket FROM bucketed
+      UNION ALL SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7, b1 FROM bucketed
+      UNION ALL SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7, b2 FROM bucketed
+      UNION ALL SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7, b3 FROM bucketed
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(((CASE WHEN a.mh0=b.mh0 THEN 1 ELSE 0 END) + (CASE WHEN a.mh1=b.mh1 THEN 1 ELSE 0 END)
+                + (CASE WHEN a.mh2=b.mh2 THEN 1 ELSE 0 END) + (CASE WHEN a.mh3=b.mh3 THEN 1 ELSE 0 END)
+                + (CASE WHEN a.mh4=b.mh4 THEN 1 ELSE 0 END) + (CASE WHEN a.mh5=b.mh5 THEN 1 ELSE 0 END)
+                + (CASE WHEN a.mh6=b.mh6 THEN 1 ELSE 0 END) + (CASE WHEN a.mh7=b.mh7 THEN 1 ELSE 0 END)
+                 ) / 8.0, 6) AS est_jaccard
+    FROM unp a JOIN unp b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ORDER BY id_a, id_b
+    """,
+    "MinHash+LSH near-dup candidates: band-bucket join (4 bands × 2 rows)",
+)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = DD.minhash_signatures(t(spark, sf_dir, "documents"))
+    return DD.lsh_candidate_pairs(sigs).orderBy("id_a", "id_b")
+
+
+@q(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH sh AS (
+      SELECT doc_id AS id, unnest(list_distinct({SQL_SHINGLES})) AS sh FROM documents
+    ), sizes AS (
+      SELECT id, count(*) AS n FROM sh GROUP BY id
+    ), inter AS (
+      SELECT x.id AS id_a, y.id AS id_b, count(*) AS i
+      FROM sh x JOIN sh y ON x.sh = y.sh AND x.id < y.id
+      GROUP BY x.id, y.id
+    )
+    SELECT id_a, id_b,
+           round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+    FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+    WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+    "n-gram Jaccard dedup: inverted-index candidate join + exact verify",
+)
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.ngram_jaccard_pairs(
+        t(spark, sf_dir, "documents"), threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+@q(
+    "dedup_simhash",
+    f"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_transform({SQL_TOKENS}, s -> {sql_poly_hash('s')}) AS th
+      FROM documents
+    )
+    SELECT doc_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(generate_series(0, 31), b ->
+               CASE WHEN list_sum(list_transform(th, h ->
+                      CASE WHEN CAST(floor(h / power(2, b)) AS BIGINT) % 2 = 1
+                           THEN 1 ELSE -1 END)) > 0
+                    THEN CAST(floor(power(2, b)) AS BIGINT) ELSE 0 END)),
+             (a, x) -> a + x) AS simhash
+    FROM tok ORDER BY doc_id
+    """,
+    "SimHash 32-bit signatures over token hashes",
+)
+def simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.simhash_signatures(t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@q(
+    "dedup_embedding_cosine",
+    """
+    WITH e AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, label, v,
+             sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                  list_transform(v, x -> x * x)), (a, x) -> a + x)) AS nrm
+      FROM e
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(generate_series(1, len(a.v)),
+                                i -> a.v[i] * b.v[i])), (s, x) -> s + x)
+                 / (a.nrm * b.nrm), 6) AS cos_sim
+    FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(generate_series(1, len(a.v)),
+                         i -> a.v[i] * b.v[i])), (s, x) -> s + x)
+          / (a.nrm * b.nrm) >= 0.35
+    ORDER BY id_a, id_b
+    """,
+    "embedding-cosine near-dup: cell-bucketed self-join (label = cell); threshold 0.35 tuned to the synthetic embeddings (random vectors: max within-cell cosine ~0.47)",
+)
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.embedding_near_dups(
+        t(spark, sf_dir, "embeddings"), threshold=0.35
+    ).orderBy("id_a", "id_b")
+
+
+# ===========================================================================
+# similarity search
+# ===========================================================================
+
+_ANN_QUERY_SQL = """
+    WITH qv AS (
+      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q
+      FROM embeddings WHERE vec_id = 0
+    ), e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE vec_id <> 0
+    ), scored AS (
+      SELECT vec_id,
+             round(
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(generate_series(1, len(v)), i -> v[i] * q[i])), (s, x) -> s + x)
+               / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list_transform(v, x -> x * x)), (s, x) -> s + x))
+                * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list_transform(q, x -> x * x)), (s, x) -> s + x))), 6) AS sim
+      FROM e, qv
+    )
+    SELECT vec_id, sim,
+           CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS INT) AS rank
+    FROM scored ORDER BY sim DESC, vec_id LIMIT 10
+    """
+
+
+@q(
+    "ann_brute_force_topk",
+    _ANN_QUERY_SQL,
+    "similarity search: exact cosine top-k vs query vector (zip_with/"
+    "aggregate dot product, JVM-side)",
+)
+def ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return SIM.brute_force_topk(
+        e.filter(F.col("vec_id") != 0), qvec, k=10
+    ).orderBy("rank")
+
+
+@q(
+    "ann_ivf_label_cells",
+    None,  # IVF probing (centroid argmax → cell subset) is procedural;
+    #        rows-only check — correctness of the exact scorer is covered
+    #        by ann_brute_force_topk's full oracle.
+    "similarity search, scale path: IVF coarse cells (label) + probe",
+)
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return SIM.ivf_topk(e.filter(F.col("vec_id") != 0), qvec, k=10, n_probe=2).orderBy("rank")
+
+
+# ===========================================================================
+# multimodal plumbing
+# ===========================================================================
+
+@q(
+    "multimodal_features",
+    """
+    SELECT doc_id AS media_id, 'text' AS kind,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents ORDER BY media_id
+    """,
+    "multimodal: binary payload column + mapInPandas feature extraction "
+    "(decode stubbed; plumbing real)",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = MM.docs_as_media(t(spark, sf_dir, "documents"))
+    return MM.extract_features(media).select(
+        "media_id", "kind", "n_bytes", "content_md5"
+    ).orderBy("media_id")
+
+
+# ===========================================================================
+# the crawl itself (non-SQL: iterative wave loop)
+# ===========================================================================
+
+@q(
+    "crawl_wave_loop",
+    None,  # iterative driver loop — verified against the pure-Python
+    #        oracle in tests/test_crawl_e2e.py (items/seen/pops/errors
+    #        all bit-exact); rows-only check here.
+    "O1-O15 + E1-E3 end-to-end: frontier, politeness, fetch-join, Arrow "
+    "parse, bloom dedup, pagination, items sink",
+)
+def crawl_wave_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..corpus import webgen as wg
+    from ..engine.driver import CrawlParams, crawl
+
+    spec = wg.CorpusSpec(default_pages=3, items_per_page=5, empty_last_page_sources=())
+    pages = spark.createDataFrame(wg.corpus_pandas(spec))
+    res = crawl(
+        spark, pages,
+        CrawlParams(wave_seconds=8.0, use_bloom=True, n_shards=8,
+                    record_order=False, max_waves=60),
+    )
+    return res.items.orderBy("url")

@@ -1,0 +1,80 @@
+"""Durable state: wave commits, crash-resume idempotence (SURVEY.md §5.2.5)."""
+
+import pandas as pd
+import pytest
+
+from crawler_spark.corpus import webgen as wg
+from crawler_spark.engine.driver import CrawlParams, ITEMS_SCHEMA, crawl
+from crawler_spark.state.lakestore import LakeStore
+
+
+@pytest.fixture(scope="module")
+def small_pages(spark):
+    # a small single-host slice crawls in few waves
+    spec = wg.CorpusSpec(default_pages=3, items_per_page=4, empty_last_page_sources=())
+    pages = spark.createDataFrame(wg.corpus_pandas(spec))
+    pages.persist().count()
+    return spec, pages
+
+
+def _items_pdf(store, spark):
+    return (
+        store.read(spark, "items", ITEMS_SCHEMA)
+        .toPandas()
+        .sort_values(["url"])
+        .reset_index(drop=True)
+    )
+
+
+def test_resume_equals_uninterrupted(spark, small_pages, tmp_path_factory):
+    spec, pages = small_pages
+    params = CrawlParams(wave_seconds=4.0, use_bloom=True, n_shards=4, max_waves=100)
+
+    # uninterrupted run
+    s_full = LakeStore(str(tmp_path_factory.mktemp("full")))
+    r_full = crawl(spark, pages, params, store=s_full)
+
+    # interrupted run: stop after 3 waves (simulated crash: just stop),
+    # then resume from the checkpoint
+    s_part = LakeStore(str(tmp_path_factory.mktemp("part")))
+    p3 = CrawlParams(**{**params.__dict__, "max_waves": 3})
+    crawl(spark, pages, p3, store=s_part)
+    assert s_part.load_checkpoint()["wave"] == 3
+    r_resumed = crawl(spark, pages, params, store=s_part, resume=True)
+
+    a = _items_pdf(s_full, spark)
+    b = _items_pdf(s_part, spark)
+    assert len(a) == len(b) and len(a) > 0
+    pd.testing.assert_frame_equal(a, b)
+    assert r_full.waves == r_resumed.waves + 3
+
+    # pop order is also identical across the interruption
+    pops_a = s_full.read(spark, "pops").orderBy("pop_seq").toPandas()
+    pops_b = s_part.read(spark, "pops").orderBy("pop_seq").toPandas()
+    pd.testing.assert_frame_equal(pops_a, pops_b)
+
+
+def test_uncommitted_wave_is_replayed(spark, small_pages, tmp_path_factory):
+    """A wave directory written but not committed (crash between data
+    write and manifest swap) must be invisible and safely overwritten."""
+    spec, pages = small_pages
+    params = CrawlParams(wave_seconds=4.0, use_bloom=False, max_waves=2)
+    store = LakeStore(str(tmp_path_factory.mktemp("crash")))
+    crawl(spark, pages, params, store=store)
+
+    # simulate a torn write: stage a bogus uncommitted items directory
+    bogus = store.read(spark, "items", ITEMS_SCHEMA).limit(1)
+    bogus.write.mode("overwrite").parquet(store.root + "/items/w3")
+    assert "w3" not in store.commits("items")
+    before = _items_pdf(store, spark)
+
+    # resume: must drop the uncommitted dir, then continue cleanly
+    r = crawl(
+        spark, pages,
+        CrawlParams(wave_seconds=4.0, use_bloom=False, max_waves=100),
+        store=store, resume=True,
+    )
+    after = _items_pdf(store, spark)
+    assert len(after) >= len(before)
+    # w3 now exists as a real commit (the resumed run's first wave)
+    assert "w3" in store.commits("items")
