@@ -1,0 +1,190 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line to stdout (progress → stderr).
+
+Two measurements:
+
+1. **Crawl throughput** — the full wave loop (fetch-join, Arrow parse,
+   bloom dedup, politeness, pagination) over a generated ~300k-URL
+   virtual web with one host holding 80% of the URLs, run at TWO
+   parallelism levels (local[N_LOW] and local[N_HIGH]) on the SAME
+   input — the sandbox stand-in for the north_rule's N vs 4N executor
+   scaling-efficiency criterion. Each level runs in its own
+   subprocess (own JVM) so the master setting is honest.
+2. **Headline queries** at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+   local[$SPARK_GRAFT_CPUS]; each forced through a noop sink so column
+   pruning can't skip the measured work.
+
+Efficiency = (throughput_high / throughput_low) / (N_high / N_low).
+Results also land in BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+LOW = max(2, CPUS // 4)
+
+BENCH_QUERIES = [
+    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume", "top_customers_per_nation",
+    "dedup_exact_md5", "doc_fingerprint", "doc_quality_score",
+    "dedup_minhash_signatures", "dedup_minhash_lsh_pairs",
+    "dedup_ngram_jaccard", "dedup_simhash", "dedup_embedding_cosine",
+    "ann_brute_force_topk", "events_windowed_agg", "events_sessionize",
+    "multimodal_features", "url_canonicalize", "frontier_dedup_antijoin",
+    "politeness_admission",
+]
+
+CRAWL_SECTIONS = int(os.environ.get("BENCH_SECTIONS", "6000"))
+CRAWL_ITEMS = int(os.environ.get("BENCH_ITEMS", "25"))
+
+
+def log(msg: str) -> None:
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+# ---------------------------------------------------------------- subphases
+
+def phase_crawl(cores: int) -> dict:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from crawler_spark.corpus import webgen as wg
+    from crawler_spark.engine.driver import CrawlParams, crawl
+    from crawler_spark.session import get_spark
+
+    spark = get_spark(app_name=f"bench-crawl-{cores}", cores=cores,
+                      shuffle_partitions=cores)
+    sites = wg.bench_sites(n_hosts=8, sections=CRAWL_SECTIONS, skew=0.8,
+                           crawl_delay=0.001, max_page=2)
+    spec = wg.CorpusSpec(
+        items_per_page=CRAWL_ITEMS, default_pages=2,
+        empty_last_page_sources=(), miss_every=50,
+    )
+    pages = wg.corpus_df(spark, spec, sites)
+    pages = pages.persist()
+    n_pages = pages.count()  # generation excluded from the timed window
+    log(f"cores={cores} corpus ready: {n_pages} pages")
+
+    t0 = time.time()
+    res = crawl(
+        spark, pages,
+        CrawlParams(wave_seconds=100.0, use_bloom=True, n_shards=64,
+                    record_order=False, max_waves=12, n_salts=16),
+        sites=sites,
+    )
+    wall = time.time() - t0
+    urls = sum(m["admitted"] for m in res.metrics)
+    fetched = sum(m["fetched_ok"] for m in res.metrics)
+    items = sum(m["items"] for m in res.metrics)
+    spark.stop()
+    return {
+        "cores": cores, "wall_sec": round(wall, 2), "n_pages": n_pages,
+        "urls_processed": urls, "pages_fetched": fetched, "items": items,
+        "waves": res.waves,
+        "urls_per_sec": round(urls / wall, 2),
+        "pages_per_sec": round(fetched / wall, 2),
+    }
+
+
+def phase_queries(cores: int) -> dict:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as entry
+    from crawler_spark.session import get_spark
+
+    spark = get_spark(app_name="bench-queries", cores=cores,
+                      shuffle_partitions=cores)
+    qs = entry.queries()
+    out: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        # noop sink: forces the full computation incl. projected columns
+        df.write.format("noop").mode("overwrite").save()
+        out[name] = round(time.time() - t0, 3)
+        log(f"query {name}: {out[name]}s")
+    spark.stop()
+    return out
+
+
+def _run_sub(phase: str, cores: int) -> dict:
+    env = dict(os.environ, BENCH_PHASE=phase, BENCH_CORES=str(cores))
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env, capture_output=True, text=True, timeout=3000,
+    )
+    sys.stderr.write(proc.stderr[-4000:])
+    if proc.returncode != 0:
+        raise RuntimeError(f"phase {phase}@{cores} failed: {proc.stdout[-2000:]}")
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    phase = os.environ.get("BENCH_PHASE")
+    if phase == "crawl":
+        print(json.dumps(phase_crawl(int(os.environ["BENCH_CORES"]))))
+        return
+    if phase == "queries":
+        print(json.dumps(phase_queries(int(os.environ["BENCH_CORES"]))))
+        return
+
+    log(f"crawl scaling run: local[{LOW}] vs local[{CPUS}]")
+    lo = _run_sub("crawl", LOW)
+    hi = _run_sub("crawl", CPUS)
+    eff = (hi["urls_per_sec"] / lo["urls_per_sec"]) / (CPUS / LOW)
+    log(f"low: {lo}")
+    log(f"high: {hi}")
+    log(f"scaling efficiency ({LOW}->{CPUS} cores): {eff:.3f}")
+
+    queries = _run_sub("queries", CPUS)
+
+    result = {
+        "metric": f"crawl_wall_sec_local{CPUS}",
+        "value": hi["wall_sec"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "crawl": {
+            f"local{LOW}": lo,
+            f"local{CPUS}": hi,
+            "scaling_efficiency": round(eff, 3),
+            "criterion": "throughput(local[4N])/throughput(local[N])/4 >= 0.8",
+        },
+    }
+    _write_bench_md(result)
+    print(json.dumps(result))
+
+
+def _write_bench_md(r: dict) -> None:
+    lo_k, hi_k = f"local{LOW}", f"local{CPUS}"
+    lo, hi = r["crawl"][lo_k], r["crawl"][hi_k]
+    lines = [
+        "# BENCH — measured results (latest run)",
+        "",
+        "## Crawl wave-loop throughput (same input, two parallelism levels)",
+        "",
+        "| level | wall (s) | URLs/sec | pages/sec | waves | corpus pages |",
+        "|---|---|---|---|---|---|",
+        f"| {lo_k} | {lo['wall_sec']} | {lo['urls_per_sec']} | {lo['pages_per_sec']} | {lo['waves']} | {lo['n_pages']} |",
+        f"| {hi_k} | {hi['wall_sec']} | {hi['urls_per_sec']} | {hi['pages_per_sec']} | {hi['waves']} | {hi['n_pages']} |",
+        "",
+        f"**Scaling efficiency ({LOW}→{CPUS} cores): "
+        f"{r['crawl']['scaling_efficiency']}** (criterion ≥ 0.8 per BASELINE.json; "
+        "sandbox stand-in for N vs 4N executors)",
+        "",
+        f"## Query timings at {r['sf']} (local[{CPUS}], noop sink)",
+        "",
+        "| query | sec |",
+        "|---|---|",
+    ]
+    lines += [f"| {k} | {v} |" for k, v in r["queries"].items()]
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -109,6 +109,47 @@ def bench_spec(scale: int = 1) -> CorpusSpec:
     )
 
 
+def bench_sites(
+    n_hosts: int = 8,
+    sections: int = 2000,
+    skew: float = 0.8,
+    crawl_delay: float = 0.001,
+    max_page: int = 2,
+) -> tuple[SiteConfig, ...]:
+    """Synthetic bench site set for THROUGHPUT runs: many parallel seed
+    sections so the frontier gets wide in one wave (pagination chains
+    are inherently sequential — wave-throughput needs breadth). Host 0
+    carries ``skew`` of all sections (the politeness-window and
+    fetch-join skew case); parse kinds cycle through all five reference
+    shapes so the Arrow parsers all run. Tiny crawl_delay = politeness
+    effectively open, measuring machine throughput, not courtesy."""
+    kinds = ["xpath_sizebid", "xpath_ahhyzb", "json_dz100", "xpath_zybtp", "xpath_ggzy"]
+    skew_sections = int(sections * skew)
+    rest = sections - skew_sections
+    per_other = max(1, rest // max(1, n_hosts - 1))
+    sites = []
+    for h in range(n_hosts):
+        host = f"bench{h}.local"
+        kind = kinds[h % len(kinds)]
+        n_sec = skew_sections if h == 0 else per_other
+        tpls = tuple(
+            f"https://{host}/s{j}/{{page}}.html" for j in range(n_sec)
+        )
+        base = (
+            f"https://{host}/api/bid/detail?id={{id}}"
+            if kind == "json_dz100"
+            else f"https://{host}"
+        )
+        sites.append(
+            SiteConfig(
+                source=host, site_name=f"bench{h}", province="全国", city="",
+                county="", seed_templates=tpls, contents_base_url=base,
+                parse_kind=kind, max_page=max_page, crawl_delay=crawl_delay,
+            )
+        )
+    return tuple(sites)
+
+
 # truth records --------------------------------------------------------------
 
 @dataclass(frozen=True)
@@ -122,7 +163,11 @@ class ItemTruth:
 
 
 def _site_idx(site: SiteConfig) -> int:
-    return next(i for i, s in enumerate(SITES) if s.source == site.source)
+    for i, s in enumerate(SITES):
+        if s.source == site.source:
+            return i
+    # synthetic bench hosts: stable small index derived from the name
+    return 5 + (_h("siteidx", site.source) % 50)
 
 
 def _detail_id(site: SiteConfig, sec: int, page: int, slot: int) -> int:

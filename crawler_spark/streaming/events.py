@@ -83,7 +83,10 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # unix_timestamp (not cast-to-long): the parquet column arrives as
+    # TIMESTAMP_NTZ, which Spark refuses to cast numerically
+    epoch = F.unix_timestamp(F.col("ts"))
+    gap = epoch - F.lag(epoch).over(w)
     marked = events.withColumn(
         "new_sess",
         F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0),

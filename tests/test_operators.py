@@ -57,7 +57,7 @@ def test_admit_matches_naive_window(spark):
 # --------------------------------------------------------------------- bloom
 
 def test_bloom_no_false_negatives_and_rescue(spark):
-    n_shards, m_bits = 4, 1 << 10  # tiny bitmap → force false positives
+    n_shards, m_bits = 4, 128  # near-saturated bitmap → force false positives
     seen_urls = [(f"u{i}", i * 7919) for i in range(200)]
     seen = spark.createDataFrame(seen_urls, "canon string, url_hash long")
     shards = dd.update_shards(
