@@ -79,6 +79,8 @@ class CorpusSpec:
     pages_per_section: Mapping[str, int] = field(default_factory=dict)
     miss_every: int = 17       # ~1/17 of items link to a nonexistent page
     empty_last_page_sources: tuple[str, ...] = ("m.sizebid-test.local",)
+    detail_chunks_min: int = 3   # detail page size: n = min + h % span
+    detail_chunks_span: int = 5  # (bench uses fatter pages)
 
     def n_pages(self, source: str, sec: int) -> int:
         return self.pages_per_section.get(f"{source}#{sec}", self.default_pages)
@@ -323,7 +325,7 @@ def detail_chunks(spec: CorpusSpec, item_id: int) -> list[str]:
     Extraction contract: strip each chunk, drop empties, join with \\n."""
     if _h(spec.seed, "empty", item_id) % 19 == 0:
         return []  # empty-content page edge
-    n = 3 + _h(spec.seed, "nchunk", item_id) % 5
+    n = spec.detail_chunks_min + _h(spec.seed, "nchunk", item_id) % spec.detail_chunks_span
     out = []
     for i in range(n):
         h = _h(spec.seed, "chunk", item_id, i)

@@ -191,13 +191,30 @@ def _checkpointed(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def _checkpoint_many(dfs: list[DataFrame | None]) -> list[DataFrame | None]:
+    """Eager-checkpoint several DataFrames CONCURRENTLY (one thread per
+    action — Spark schedules concurrent jobs fine). The wave loop runs
+    ~10 actions per wave; serial scheduling latency (~0.3-1s each) was
+    a fixed ~10s/wave tax that throttled scaling efficiency."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    live = [(i, df) for i, df in enumerate(dfs) if df is not None]
+    out: list[DataFrame | None] = list(dfs)
+    if not live:
+        return out
+    with ThreadPoolExecutor(max_workers=len(live)) as ex:
+        futs = {ex.submit(lambda d=df: d.localCheckpoint(eager=True)): i for i, df in live}
+        for fut, i in futs.items():
+            out[i] = fut.result()
+    return out
+
+
 def _scratch(df: DataFrame, pool: list) -> DataFrame:
     """Materialize a wave-local intermediate: persisted for reuse within
     the wave, explicitly unpersisted at wave end (its lineage is bounded
     — it roots at the wave-start checkpointed state), so executor/driver
     block state does not accumulate across hundreds of waves."""
-    df = df.persist()
-    df.count()
+    df = df.persist()  # lazy: the first consumer materializes the cache
     pool.append(df)
     return df
 
@@ -213,7 +230,14 @@ def crawl(
 ) -> CrawlResult:
     params = params or CrawlParams()
     config = crawl_config_df(spark, sites)
-    pages_slim = pages.select("url", "html")  # column pruning: never drag text/lang
+    # column pruning (never drag text/lang) + pre-hash-partition on the
+    # join key, persisted ONCE: every wave's fetch join then shuffles
+    # only the admitted side (30k rows), not the corpus (GBs). On a real
+    # cluster this is the bucketed-pages-table layout.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    pages_slim = (
+        pages.select("url", "html").repartition(n_part, "url").persist()
+    )
 
     # ---- state init / resume ---------------------------------------------
     wave = 0
@@ -319,9 +343,8 @@ def crawl(
                 F.lit("miss").alias("status"),
             )
         )
-        werr = _checkpointed(_union_all(spark, wave_errors, ERRORS_SCHEMA))
-        _tick("errors_ckpt")
-        errors_acc.append(werr)
+        werr = _union_all(spark, wave_errors, ERRORS_SCHEMA)  # materialized below
+        _tick("errors_built")
 
         # ---- list branch: parse + candidates (O3-O8) ---------------------
         lists = fetched.filter((F.col("kind") == "list") & F.col("html").isNotNull())
@@ -375,7 +398,16 @@ def crawl(
         ).withColumn("host", host_of(F.col("url")))
 
         # ---- dedup gate (O10/E1): NEW = not seen at wave start -----------
-        fresh = dd.filter_new(cand, seen, shards, params.n_shards, params.bloom_bits_per_shard)  # keeps parent_url per citing page
+        blobs = None
+        if shards is not None:
+            blobs = _scratch(
+                dd.densify(shards, params.bloom_bits_per_shard), scratch_pool
+            )
+        fresh = dd.filter_new(
+            cand, seen, blobs, params.n_shards, params.bloom_bits_per_shard,
+            prebuilt_blobs=True,
+        ) if blobs is not None else dd.filter_new(cand, seen, None)
+        # fresh keeps parent_url per citing page
         fresh = _scratch(fresh, scratch_pool)
         _tick("dedup_fresh_ckpt")
 
@@ -426,12 +458,14 @@ def crawl(
                 F.lit(None).cast("string").alias("origin_url"),
             )
         )
-        new_pages = dd.filter_new(next_pages, seen, shards, params.n_shards, params.bloom_bits_per_shard)
+        new_pages = (
+            dd.filter_new(next_pages, seen, blobs, params.n_shards,
+                          params.bloom_bits_per_shard, prebuilt_blobs=True)
+            if blobs is not None else dd.filter_new(next_pages, seen, None)
+        )
         _tick("next_pages_built")
 
         new_frontier = new_detail.unionByName(new_pages.select(*new_detail.columns))
-        new_frontier = _checkpointed(new_frontier)
-        _tick("new_frontier_ckpt")
 
         # ---- detail branch: extract + sink (O11, O9) ---------------------
         details = fetched.filter((F.col("kind") == "detail") & F.col("html").isNotNull())
@@ -441,25 +475,31 @@ def crawl(
             extract_text(F.col("html")).alias("text"),
             F.lit(wave).alias("wave"),
         )
-        wave_items = _checkpointed(wave_items)
-        _tick("items_ckpt")
+        # materialize the wave's three outputs CONCURRENTLY (overlapping
+        # job-scheduling latency; see _checkpoint_many)
+        werr, new_frontier, wave_items = _checkpoint_many(
+            [werr, new_frontier, wave_items]
+        )
+        _tick("outputs_ckpt")
+        errors_acc.append(werr)
         items_acc.append(wave_items)
 
         # ---- state transition --------------------------------------------
-        seen = _checkpointed(seen.unionByName(new_frontier.select("canon", "url_hash")))
-        _tick("seen_ckpt")
-        if shards is not None:
-            shards = _checkpointed(
-                dd.update_shards(
-                    shards, new_frontier.select("url_hash"),
-                    params.n_shards, params.bloom_bits_per_shard,
-                )
+        seen2 = seen.unionByName(new_frontier.select("canon", "url_hash"))
+        shards2 = (
+            dd.update_shards(
+                shards, new_frontier.select("url_hash"),
+                params.n_shards, params.bloom_bits_per_shard,
             )
-            _tick("shards_ckpt")
-        frontier = _checkpointed(deferred.unionByName(new_frontier))
-        _tick("frontier_ckpt")
+            if shards is not None else None
+        )
+        frontier2 = deferred.unionByName(new_frontier)
+        seen, shards2, frontier = _checkpoint_many([seen2, shards2, frontier2])
+        if shards is not None:
+            shards = shards2
+        _tick("state_ckpt")
 
-        n_miss = misses.count()
+        n_miss = werr.filter(F.col("status") == "miss").count()
         n_items = wave_items.count()
         n_new = new_frontier.count()
         _tick("counts")
@@ -499,6 +539,7 @@ def crawl(
             if shards is not None:
                 shards = store.read(spark, "shards", dd.SHARD_SCHEMA)
 
+    pages_slim.unpersist()
     items = _union_all(spark, items_acc, ITEMS_SCHEMA)
     errors = _union_all(spark, errors_acc, ERRORS_SCHEMA)
     pops = _union_all(spark, pops_acc, POPS_SCHEMA) if params.record_order else None

@@ -7,48 +7,60 @@ duplicate canonical URL is silently dropped. Observable contract: a URL
 is crawled at most once per crawl.
 
 At 10^10 URLs an exact distributed anti-join against the full seen
-table every wave means shuffling the whole multi-TB seen table
-repeatedly. The north_rule architecture, implemented 100% in Catalyst
-expressions (NO Python in the dedup hot path — bitwise ops stay in
-whole-stage codegen):
+table every wave means shuffling the multi-TB seen table repeatedly.
+The north_rule architecture:
 
-- the seen set lives as ``n_shards`` Bloom bitmaps, each a dense
-  ``array<long>`` of ``m_bits/64`` words, keyed by
-  ``shard = url_hash % n_shards`` (url_hash = xxhash64 of the
-  canonical URL);
-- per key, K=5 bit positions from affine maps of the hash
-  (``(h' * (2i+1) + Ci) mod m_bits`` with h' pre-reduced below 2^31 so
-  no arithmetic overflows);
-- build/update: the wave's new keys explode into (shard, word, bits)
-  rows, ``bit_or`` per word, densify per shard, ``zip_with(|)`` into
-  the old blob — incremental, never rebuilt from scratch;
-- probe: ONE equi-join candidate→shard blob + a codegen'd expression
-  testing the K bits (``element_at`` + ``&``);
-- Bloom "no" is authoritative (no false negatives) → row is NEW —
-  the common case, touching only O(wave × blob) bytes;
-- Bloom "maybe" goes to an exact anti-join against the seen table —
-  false positives are rescued, end-to-end semantics EXACT.
+- persistent state: a SPARSE words table ``(shard, w, bits)`` — the
+  non-zero 64-bit words of ``n_shards`` Bloom bitmaps of ``m_bits``
+  each, keyed by ``shard = url_hash % n_shards`` (url_hash = xxhash64
+  of the canonical URL). Incremental update is one codegen'd
+  shuffle: explode each new key into K=5 bit positions, ``bit_or``
+  per (shard, word), union with the old words, ``bit_or`` again.
+  (A dense-array update was 10x slower: Catalyst higher-order
+  functions are interpreted, and ``element_at`` on a map is a linear
+  scan — the map-probe densify was O(words x map) on the driver of
+  every wave.)
+- probe-time: the words of each shard are scattered into one dense
+  ``array<long>`` blob per shard (numpy, via applyInPandas — this
+  touches only the COMPRESSED bloom representation, never data rows),
+  then candidates probe with ONE equi-join on shard + a codegen'd
+  K-bit test expression. The driver densifies once per wave and
+  reuses the blobs for every filter_new call in that wave.
+- Bloom "no" is authoritative (no false negatives) → row is NEW;
+  Bloom "maybe" goes to an exact anti-join against the seen table —
+  false positives rescued, end-to-end semantics EXACT.
 
-Sizing (cluster): for p=1% at n keys, m ≈ 9.6·n bits. 10^10 URLs over
+Sizing (cluster): for p=1% at n keys, m ≈ 9.6n bits. 10^10 URLs over
 4096 shards → ~2.4M keys/shard → ~2.9MB blob; a wave's probe join
-moves 4096 × 3MB = 12GB of blobs once — far cheaper than re-shuffling
-the 10^10-row seen table. Blob update is the same order. The shard
-count is the partitioning knob: more shards = finer probe-join
-distribution (the blob table is hash-partitioned on shard, so both
-sides co-locate).
+moves 4096 x 3MB = 12GB of blobs once — far cheaper than re-shuffling
+the 10^10-row seen table. The sparse update shuffles only
+O(wave x K) positions. Densify is O(bloom bytes) of numpy writes,
+shard-parallel.
 """
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# persistent sparse representation
 SHARD_SCHEMA = T.StructType(
     [
         T.StructField("shard", T.IntegerType(), False),
-        T.StructField("m_bits", T.LongType(), False),
-        T.StructField("n_keys", T.LongType(), False),
+        T.StructField("w", T.IntegerType(), False),
+        T.StructField("bits", T.LongType(), False),
+    ]
+)
+
+# probe-time dense representation
+BLOB_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.IntegerType(), False),
         T.StructField("words", T.ArrayType(T.LongType()), False),
     ]
 )
@@ -59,7 +71,7 @@ _COEF = [(2 * i + 3, 0x9E37 + 77 * i) for i in range(K_HASHES)]
 
 
 def _hprime(url_hash: Column) -> Column:
-    # reduce below 2^31 so pos arithmetic stays far from long overflow
+    # reduce below 2^31 so position arithmetic stays far from overflow
     return F.pmod(url_hash, F.lit((1 << 31) - 1))
 
 
@@ -79,9 +91,8 @@ def empty_shards(spark: SparkSession, n_shards: int, m_bits: int) -> DataFrame:
 def update_shards(
     shards: DataFrame, new_hashes: DataFrame, n_shards: int, m_bits: int
 ) -> DataFrame:
-    """OR the new keys' bits into their shard blobs. Shards untouched by
-    the wave pass through unchanged (full outer join on shard)."""
-    n_words = m_bits // 64
+    """OR the new keys' bits into the sparse words — one codegen'd
+    groupBy on (shard, w), no Python, no HOFs."""
     keys = new_hashes.select(
         _shard_of(F.col("url_hash"), n_shards).alias("shard"), "url_hash"
     )
@@ -91,54 +102,45 @@ def update_shards(
             F.array(*[_pos(F.col("url_hash"), i, m_bits) for i in range(K_HASHES)])
         ).alias("p"),
     )
-    sparse = (
-        pos.select(
-            "shard",
-            (F.col("p") / 64).cast("int").alias("w"),
-            # expr form: shiftleft's bit-count must be an expression here
-            F.expr("shiftleft(cast(1 as bigint), cast(pmod(p, 64) as int))").alias("m"),
-        )
+    sparse = pos.select(
+        "shard",
+        (F.col("p") / 64).cast("int").alias("w"),
+        F.expr("shiftleft(cast(1 as bigint), cast(pmod(p, 64) as int))").alias("bits"),
+    )
+    return (
+        shards.unionByName(sparse)
         .groupBy("shard", "w")
-        .agg(F.bit_or("m").alias("bits"))
+        .agg(F.bit_or("bits").alias("bits"))
     )
-    dense_new = (
-        sparse.groupBy("shard")
-        .agg(F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias("wm"))
-        .select(
-            "shard",
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_words - 1)),
-                lambda i: F.coalesce(F.element_at(F.col("wm"), i), F.lit(0).cast("long")),
-            ).alias("new_words"),
-        )
-    )
-    counts = keys.groupBy("shard").agg(F.count("*").alias("new_n"))
-    dense_new = dense_new.join(counts, "shard")
-    merged = (
-        shards.join(dense_new, "shard", "full")
-        .select(
-            "shard",
-            F.lit(m_bits).alias("m_bits"),
-            (F.coalesce(F.col("n_keys"), F.lit(0)) + F.coalesce(F.col("new_n"), F.lit(0))).alias("n_keys"),
-            F.when(
-                F.col("words").isNull(), F.col("new_words")
-            ).when(
-                F.col("new_words").isNull(), F.col("words")
-            ).otherwise(
-                F.zip_with(F.col("words"), F.col("new_words"), lambda a, b: a.bitwiseOR(b))
-            ).alias("words"),
-        )
-    )
-    return merged
+
+
+def densify(shards: DataFrame, m_bits: int) -> DataFrame:
+    """Sparse words → one dense blob row per shard (numpy scatter over
+    the bloom's own representation — bounded by bloom bytes, not by
+    data rows; shard-parallel)."""
+    n_words = m_bits // 64
+
+    def scatter(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for shard, grp in pdf.groupby("shard"):
+            words = np.zeros(n_words, dtype=np.int64)
+            words[grp["w"].to_numpy()] = grp["bits"].to_numpy()
+            out.append((int(shard), words.tolist()))
+        return pd.DataFrame(out, columns=["shard", "words"])
+
+    return shards.groupBy("shard").applyInPandas(scatter, BLOB_SCHEMA)
 
 
 def probe_shards(
-    candidates: DataFrame, shards: DataFrame, n_shards: int, m_bits: int
+    candidates: DataFrame,
+    blobs: DataFrame,
+    n_shards: int,
+    m_bits: int,
 ) -> DataFrame:
     """Adds ``maybe_seen`` via one join + a codegen bit test. Candidates
-    must carry ``url_hash``."""
+    must carry ``url_hash``; ``blobs`` comes from :func:`densify`."""
     keyed = candidates.withColumn("_shard", _shard_of(F.col("url_hash"), n_shards))
-    blob = shards.select(F.col("shard").alias("_shard"), "words")
+    blob = blobs.select(F.col("shard").alias("_shard"), "words")
     joined = keyed.join(blob, "_shard", "left")
     for i in range(K_HASHES):
         joined = joined.withColumn(f"_p{i}", _pos(F.col("url_hash"), i, m_bits))
@@ -156,20 +158,23 @@ def probe_shards(
 def filter_new(
     candidates: DataFrame,
     seen: DataFrame,
-    shards: DataFrame | None,
+    shards_or_blobs: DataFrame | None,
     n_shards: int = 64,
     m_bits: int = 1 << 17,
+    prebuilt_blobs: bool = False,
 ) -> DataFrame:
     """The dedup gate (reference O10 ``calculate_task_item`` +
     RFPDupeFilter E1): keep candidates whose canonical URL was never
-    scheduled. Exact semantics always; Bloom shards (if given) prune the
+    scheduled. Exact semantics always; the Bloom (if given) prunes the
     exact anti-join down to the "maybe" subset.
 
-    ``candidates`` carry (canon, url_hash, ...); ``seen`` is the
-    authoritative (canon, url_hash) table."""
-    if shards is None:
+    ``shards_or_blobs``: the sparse words table, or (with
+    ``prebuilt_blobs=True``) an already-densified blob table — the
+    driver densifies once per wave and reuses."""
+    if shards_or_blobs is None:
         return candidates.join(seen.select("canon"), "canon", "left_anti")
-    probed = probe_shards(candidates, shards, n_shards, m_bits)
+    blobs = shards_or_blobs if prebuilt_blobs else densify(shards_or_blobs, m_bits)
+    probed = probe_shards(candidates, blobs, n_shards, m_bits)
     fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
     maybes = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
     rescued = maybes.join(seen.select("canon"), "canon", "left_anti")

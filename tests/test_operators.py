@@ -64,7 +64,8 @@ def test_bloom_no_false_negatives_and_rescue(spark):
         dd.empty_shards(spark, n_shards, m_bits),
         seen.select("url_hash"), n_shards, m_bits,
     )
-    probed = dd.probe_shards(seen, shards, n_shards, m_bits)
+    blobs = dd.densify(shards, m_bits)
+    probed = dd.probe_shards(seen, blobs, n_shards, m_bits)
     # every inserted key must report maybe_seen (no false negatives)
     assert probed.filter(~F.col("maybe_seen")).count() == 0
 
@@ -76,7 +77,7 @@ def test_bloom_no_false_negatives_and_rescue(spark):
     assert got == [f"u{i}" for i in range(200, 400)]  # exact despite tiny bloom
     # and the tiny bloom really does fire false positives (rescue path ran)
     fp = dd.probe_shards(
-        cands.filter(F.col("url_hash") >= 200 * 7919), shards, n_shards, m_bits
+        cands.filter(F.col("url_hash") >= 200 * 7919), blobs, n_shards, m_bits
     ).filter(F.col("maybe_seen")).count()
     assert fp > 0
 
@@ -89,9 +90,8 @@ def test_bloom_incremental_update(spark):
     s1 = dd.update_shards(s0, h1, n_shards, m_bits)
     s2 = dd.update_shards(s1, h2, n_shards, m_bits)
     both = h1.unionByName(h2).withColumn("canon", F.col("url_hash").cast("string"))
-    probed = dd.probe_shards(both, s2, n_shards, m_bits)
+    probed = dd.probe_shards(both, dd.densify(s2, m_bits), n_shards, m_bits)
     assert probed.filter(~F.col("maybe_seen")).count() == 0
-    assert s2.agg(F.sum("n_keys")).first()[0] == 100
 
 
 # -------------------------------------------------------------------- robots

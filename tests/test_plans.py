@@ -1,0 +1,98 @@
+"""Plan-quality audits: the optimizations we rely on must be visible in
+the physical plan, not assumed (predicate pushdown into parquet scans,
+broadcast joins for dimension/config tables, whole-stage codegen)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_tpch_q1_pushdown_and_pruning(spark):
+    from crawler_spark.plans.queries import QUERIES
+
+    df = QUERIES["tpch_q1_pricing_summary"].fn(spark, SF)
+    plan = _plan(df)
+    # the shipdate filter must reach the parquet scan
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200]
+    # column pruning: untouched lineitem columns must not be read
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "l_partkey" not in read_schema and "l_suppkey" not in read_schema
+    assert "l_quantity" in read_schema
+
+
+def test_tpch_q3_broadcasts_dimension(spark):
+    from crawler_spark.plans.queries import QUERIES
+
+    plan = _plan(QUERIES["tpch_q3_shipping_priority"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan  # customer side is broadcast
+
+
+def test_provenance_join_is_broadcast(spark):
+    from crawler_spark.plans.queries import QUERIES
+
+    plan = _plan(QUERIES["provenance_enrichment"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_whole_stage_codegen_on_scalar_pipeline(spark):
+    from crawler_spark.plans.queries import QUERIES
+
+    plan = _plan(QUERIES["url_canonicalize"].fn(spark, SF))
+    assert "WholeStageCodegen" in plan
+
+
+def test_dedup_gate_is_left_anti(spark):
+    from crawler_spark.operators import dedup as dd
+
+    seen = spark.createDataFrame([("a", 1)], "canon string, url_hash long")
+    cand = spark.createDataFrame([("a", 1), ("b", 2)], "canon string, url_hash long")
+    plan = _optimized(dd.filter_new(cand, seen, None))
+    assert "LeftAnti" in plan
+
+
+def test_bloom_probe_single_join_no_python(spark):
+    """The probe path must be one join + codegen bit test — no
+    BatchEvalPython / ArrowEvalPython stages (the dedup hot path stays
+    JVM-side; SURVEY §4.2)."""
+    from crawler_spark.operators import dedup as dd
+
+    n_shards, m_bits = 4, 1 << 12
+    keys = spark.range(100).select(F.xxhash64("id").alias("url_hash"))
+    shards = dd.update_shards(dd.empty_shards(spark, n_shards, m_bits), keys, n_shards, m_bits)
+    blobs = dd.densify(shards, m_bits).localCheckpoint()
+    cand = spark.range(50).select(
+        F.xxhash64("id").alias("url_hash"), F.col("id").cast("string").alias("canon")
+    )
+    plan = _plan(dd.probe_shards(cand, blobs, n_shards, m_bits))
+    assert "EvalPython" not in plan  # neither Batch- nor ArrowEvalPython
+    # sparse update plan is also pure JVM
+    uplan = _plan(dd.update_shards(shards, keys, n_shards, m_bits))
+    assert "EvalPython" not in uplan
+
+
+def test_partitioned_items_sink_prunes(spark, tmp_path):
+    from crawler_spark.sources.sinks import write_items_partitioned
+
+    rows = [(f"https://h/{i}", f"s{i%2}", "t", "2024-06-0" + str(1 + i % 3), "p", 1)
+            for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "url string, source string, title string, publish_time string, province string, wave int"
+    )
+    out = str(tmp_path / "pq")
+    write_items_partitioned(df, out)
+    back = spark.read.parquet(out).filter("source = 's0' AND publish_date = DATE '2024-06-01'")
+    plan = _plan(back)
+    # partition filters must appear as PartitionFilters, not data filters
+    assert "PartitionFilters: [" in plan
+    seg = plan.split("PartitionFilters")[1][:220]
+    assert "source" in seg and "publish_date" in seg
