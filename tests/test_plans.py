@@ -47,8 +47,11 @@ def test_provenance_join_is_broadcast(spark):
 def test_whole_stage_codegen_on_scalar_pipeline(spark):
     from crawler_spark.plans.queries import QUERIES
 
-    plan = _plan(QUERIES["url_canonicalize"].fn(spark, SF))
-    assert "WholeStageCodegen" in plan
+    df = QUERIES["url_canonicalize"].fn(spark, SF)
+    df.collect()  # AQE: codegen stages only appear in the FINAL plan
+    plan = _plan(df)
+    # '*(n)' prefixes mark WholeStageCodegen spans in the tree string
+    assert "isFinalPlan=true" in plan and "*(1)" in plan
 
 
 def test_dedup_gate_is_left_anti(spark):
