@@ -206,8 +206,14 @@ def phase_queries(cores: int) -> dict:
 
 def _run_sub(phase: str, cores: int) -> dict:
     env = dict(os.environ, BENCH_PHASE=phase, BENCH_CORES=str(cores))
+    # bind each level to 2 cpus per task slot (JVM thread + Python
+    # worker) so N-vs-4N compares 4x the RESOURCES, not just 4x the
+    # slots — otherwise the low level borrows idle cores via GC/IO
+    # threads and deflates measured efficiency
+    n_cpus = min(2 * cores, CPUS)
+    cmd = ["taskset", "-c", f"0-{n_cpus - 1}", sys.executable, os.path.abspath(__file__)]
     proc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__)],
+        cmd,
         env=env, capture_output=True, text=True, timeout=3000,
     )
     sys.stderr.write(proc.stderr[-4000:])
