@@ -63,10 +63,18 @@ def brute_force_topk(
     )
     if exclude_ids:
         scored = scored.filter(~F.col(id_col).isin(*exclude_ids))
+    # orderBy + limit plans as TakeOrderedAndProject: each partition emits
+    # its local top-k, the driver merges k·P rows — no global sort, no
+    # single-partition Window funnel (the previous formulation's
+    # Window.orderBy with no partitionBy serialized the whole scored table
+    # through ONE task; dead at 10^9 vectors). Asserted in
+    # tests/test_plans.py.
+    topk = scored.orderBy(F.col("sim").desc(), F.col(id_col).asc()).limit(k)
+    # rank over the k surviving rows only — this Window's input is bounded
+    # by the limit above (k rows), so the single partition is free.
     w = Window.orderBy(F.col("sim").desc(), F.col(id_col).asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        topk.withColumn("rank", F.row_number().over(w))
         .select(id_col, "sim", "rank")
     )
 
@@ -94,11 +102,20 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cell_col: str = "label",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF search: rank cells by centroid cosine, scan the best n_probe
     cells only. Approximate (misses neighbors outside probed cells) —
-    that is the point at scale."""
-    cents = centroids_by(embeddings, cell_col, vec_col)
+    that is the point at scale.
+
+    Pass ``centroids`` (built once via :func:`centroids_by` and
+    persisted) to amortize the index across queries — at 10^9 vectors
+    the centroid build is a full-table aggregation and must not be
+    recomputed per query. When omitted (one-shot use) it is derived
+    here."""
+    cents = centroids if centroids is not None else centroids_by(
+        embeddings, cell_col, vec_col
+    )
     q = F.lit(query_vec).cast("array<double>")
     best_cells = [
         r["cell"]

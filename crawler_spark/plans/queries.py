@@ -453,7 +453,7 @@ def conditional_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sess AS (
       SELECT user_id, ts,
-             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+             CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_id
       FROM marked
     )
     SELECT user_id, session_id, count(*) AS n_events,
@@ -479,7 +479,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(json_extract(props, '$.k') AS INT) % 10 AS k_bucket,
            count(*) AS n,
-           sum(CAST(json_extract(props, '$.k') AS INT)) AS k_sum
+           CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS k_sum
     FROM events GROUP BY 1 ORDER BY 1
     """,
     "O4 JSON source path as native Catalyst from_json (the engine's "

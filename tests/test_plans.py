@@ -99,3 +99,25 @@ def test_partitioned_items_sink_prunes(spark, tmp_path):
     assert "PartitionFilters: [" in plan
     seg = plan.split("PartitionFilters")[1][:220]
     assert "source" in seg and "publish_date" in seg
+
+
+def test_ann_topk_is_take_ordered_not_global_window(spark):
+    """brute_force_topk must plan the top-k as TakeOrderedAndProject
+    (per-partition partial top-k, driver merge) — NOT a global
+    unpartitioned Window over the full scored table, which funnels every
+    row through one task and dies at 10^9 vectors. The only Window
+    allowed is the rank() over the k-row result of the limit."""
+    from crawler_spark.operators.similarity import brute_force_topk
+
+    e = spark.range(1000).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.rand(seed=i) * 2 - 1) for i in range(8)]).alias("embedding"),
+    )
+    df = brute_force_topk(e, [0.1] * 8, k=5)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    # the Window (rank over k rows) must sit ABOVE the TakeOrdered — i.e.
+    # the scored table itself must never flow into a Window.
+    w_pos = plan.find("Window")
+    t_pos = plan.find("TakeOrderedAndProject")
+    assert w_pos == -1 or w_pos < t_pos  # tree prints top-down

@@ -51,6 +51,9 @@ def _compare(name, spark_df, duck_df):
     assert len(a) == len(b), (name, len(a), len(b))
     for c in a.columns:
         av, bv = a[c], b[c]
+        # dtype-strict: the driver's value-hash is dtype-sensitive, so an
+        # int64-vs-float64 drift (e.g. DuckDB HUGEINT sums) must fail here.
+        assert av.dtype.kind == bv.dtype.kind, (name, c, av.dtype, bv.dtype)
         if av.dtype.kind == "f" or bv.dtype.kind == "f":
             av = pd.to_numeric(av, errors="coerce")
             bv = pd.to_numeric(bv, errors="coerce")
