@@ -430,11 +430,35 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the crawl itself (non-SQL: iterative wave loop)
 # ===========================================================================
 
+GOLDEN_ITEMS_PARQUET = "/root/repo/fixtures/crawl_golden_items.parquet"
+GOLDEN_WAVE_SECONDS = 8.0
+
+
+def graded_crawl_spec():
+    """The deterministic corpus the graded crawl_wave_loop runs over —
+    shared with jobs/make_crawl_golden.py, which materializes the
+    pure-Python oracle's items (corpus/oracle.py) for this exact spec
+    as the golden parquet the SQL oracle reads."""
+    from ..corpus import webgen as wg
+
+    return wg.CorpusSpec(default_pages=3, items_per_page=5,
+                         empty_last_page_sources=())
+
+
 @q(
     "crawl_wave_loop",
-    None,  # iterative driver loop — verified against the pure-Python
-    #        oracle in tests/test_crawl_e2e.py (items/seen/pops/errors
-    #        all bit-exact); rows-only check here.
+    f"""
+    SELECT url, source, title, publish_time, origin_url,
+           province, city, county, site_name, text,
+           CAST(wave AS INT) AS wave
+    FROM read_parquet('{GOLDEN_ITEMS_PARQUET}')
+    ORDER BY url
+    """,
+    # The golden parquet is the pure-Python oracle crawler's output
+    # (corpus/oracle.py — an independent single-threaded implementation
+    # of the WAVE SEMANTICS contract, no Spark/pandas) over the same
+    # deterministic corpus spec; regenerated by jobs/make_crawl_golden.py
+    # and freshness-pinned by tests/test_crawl_e2e.py.
     "O1-O15 + E1-E3 end-to-end: frontier, politeness, fetch-join, Arrow "
     "parse, bloom dedup, pagination, items sink",
 )
@@ -442,11 +466,11 @@ def crawl_wave_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..corpus import webgen as wg
     from ..engine.driver import CrawlParams, crawl
 
-    spec = wg.CorpusSpec(default_pages=3, items_per_page=5, empty_last_page_sources=())
+    spec = graded_crawl_spec()
     pages = spark.createDataFrame(wg.corpus_pandas(spec))
     res = crawl(
         spark, pages,
-        CrawlParams(wave_seconds=8.0, use_bloom=True, n_shards=8,
+        CrawlParams(wave_seconds=GOLDEN_WAVE_SECONDS, use_bloom=True, n_shards=8,
                     record_order=False, max_waves=60),
     )
     return res.items.orderBy("url")

@@ -100,3 +100,22 @@ def test_edge_cases_were_exercised(golden):
     # proUrl coalesce: some items via &src=pro, some via plain id
     assert any(i["url"].endswith("&src=pro") for i in golden.items)
     assert any("detail?id=" in i["url"] and not i["url"].endswith("&src=pro") for i in golden.items)
+
+
+def test_golden_fixture_fresh():
+    """The committed golden parquet (the graded crawl_wave_loop's SQL
+    oracle source) must equal a fresh regeneration from the pure-Python
+    oracle — catches spec/oracle drift before the graded run does."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "make_crawl_golden", "/root/repo/jobs/make_crawl_golden.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    from crawler_spark.plans.queries_docs import GOLDEN_ITEMS_PARQUET
+
+    fresh = mod.golden_items_pandas()
+    committed = pd.read_parquet(GOLDEN_ITEMS_PARQUET)
+    pd.testing.assert_frame_equal(fresh, committed)
