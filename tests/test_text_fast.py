@@ -67,3 +67,27 @@ def test_poly_hash_py_edges():
     s = "ab"
     want = ((0 * 131 + ord("a")) * 131 + ord("b")) % X.MOD
     assert XF.poly_hash_py(s) == want
+
+
+def test_batch_vectorized_edges():
+    """The whole-batch numpy paths vs the per-row reference helpers on a
+    hostile mixed batch: None, empty, <k tokens, unicode, punctuation."""
+    import pandas as pd
+
+    batch = pd.Series([
+        None, "", "one", "one two", "one two three",
+        "The  quick  BROWN fox!! 42 jumps-over the lazy dog",
+        "héllo wörld ünicode 中文 text here now",
+        "a b c d e f g", "  ", "x" * 500,
+        "same same same same same",
+    ])
+    mh = XF._batch_minhash8(batch)
+    sh = XF._batch_simhash32(batch)
+    ph = XF._batch_poly_hash(batch)
+    for i, x in enumerate(batch):
+        if x is None:
+            assert mh[i] is None and sh[i] is None and ph[i] is None
+            continue
+        assert mh[i] == XF.minhash8_py(x), (i, x)
+        assert sh[i] == XF.simhash32_py(x), (i, x)
+        assert ph[i] == XF.poly_hash_py(x), (i, x)
