@@ -36,6 +36,9 @@ class SiteConfig:
     parse_kind: str                  # 'xpath_sizebid' | 'xpath_ahhyzb' | 'json_dz100'
     #                                  | 'xpath_zybtp' | 'xpath_ggzy'
     max_page: int = 10               # reference sizebid_zhaobiao.py:20 exemplar
+    origin_url_template: str | None = None   # dz100 synthesizes origin_url from
+    #                                  an id template (dz100_zhaobiao.py:58),
+    #                                  NOT from any response field
     crawl_delay: float = 1.0         # politeness seconds per request on this host
     needs_render: bool = False       # reference Henan_KaiFeng meta use_playwright
 
@@ -46,8 +49,8 @@ class SiteConfig:
 SITES: tuple[SiteConfig, ...] = (
     SiteConfig(
         source="m.sizebid-test.local",
-        site_name="思泽招标网",
-        province="全国",
+        site_name="势必得招标网",   # reference sizebid_zhaobiao.py:16
+        province="",
         city="",
         county="",
         seed_templates=("https://m.sizebid-test.local/bid-information/{page}.html?fuzzySearch=false",),
@@ -57,8 +60,8 @@ SITES: tuple[SiteConfig, ...] = (
     ),
     SiteConfig(
         source="jypt.ahhyzb-test.local",
-        site_name="安徽华创电子交易平台",
-        province="安徽",
+        site_name="安徽寰亚国际招标有限公司",  # reference ahhyzb_zhaobiao.py:16
+        province="",
         city="",
         county="",
         seed_templates=("https://jypt.ahhyzb-test.local/jyxx/002001/{page}.html",),
@@ -68,20 +71,21 @@ SITES: tuple[SiteConfig, ...] = (
     ),
     SiteConfig(
         source="api.dz100-test.local",
-        site_name="电子标书网",
-        province="全国",
+        site_name="大众招标网",     # reference dz100_zhaobiao.py:16
+        province="",
         city="",
         county="",
         seed_templates=("https://api.dz100-test.local/api/bid/list?page={page}",),
         contents_base_url="https://api.dz100-test.local/api/bid/detail?id={id}",
         parse_kind="json_dz100",
+        origin_url_template="https://www.dz100-test.local/gat/gateway/bidHall-info?id={id}",
         crawl_delay=0.5,
     ),
     SiteConfig(
         source="www.zybtp-test.local",
-        site_name="中原标讯平台",
-        province="河南",
-        city="",
+        site_name="中原招标投标网",  # reference zybtp_zhaobiao.py:20
+        province="山东省",
+        city="济南市",
         county="",
         seed_templates=(
             "https://www.zybtp-test.local/gcggg/index_{page}.jhtml",
@@ -93,8 +97,8 @@ SITES: tuple[SiteConfig, ...] = (
     ),
     SiteConfig(
         source="ggzy.pds-test.local",
-        site_name="平顶山市公共资源交易中心",
-        province="河南",
+        site_name="平顶山市公共资源交易中心",  # reference Henan_KaiFeng:17
+        province="河南省",
         city="平顶山市",
         county="",
         seed_templates=(
@@ -120,6 +124,7 @@ CRAWL_CONFIG_SCHEMA = T.StructType(
         T.StructField("max_page", T.IntegerType(), False),
         T.StructField("crawl_delay", T.DoubleType(), False),
         T.StructField("needs_render", T.BooleanType(), False),
+        T.StructField("origin_url_template", T.StringType(), True),
     ]
 )
 
@@ -138,6 +143,7 @@ def crawl_config_df(spark: SparkSession, sites: tuple[SiteConfig, ...] = SITES) 
             s.max_page,
             s.crawl_delay,
             s.needs_render,
+            s.origin_url_template,
         )
         for s in sites
     ]

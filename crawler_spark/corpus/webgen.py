@@ -234,9 +234,12 @@ def list_items(spec: CorpusSpec, site: SiteConfig, sec: int, page: int) -> list[
         item_id = _detail_id(site, sec, page, slot)
         is_miss = _h(spec.seed, "miss", item_id) % spec.miss_every == 0
         pro = site.parse_kind == "json_dz100" and slot % 3 == 0
+        # dz100 origin_url is synthesized from an id TEMPLATE by the
+        # spider (reference dz100_zhaobiao.py:58) — it is crawl config,
+        # not response data, so the truth mirrors the config template.
         origin = (
-            f"https://www.dz100-test.local/bid/{item_id}.html"
-            if site.parse_kind == "json_dz100"
+            site.origin_url_template.format(id=item_id)
+            if site.origin_url_template
             else None
         )
         items.append(
@@ -314,7 +317,6 @@ def _render_list_json(site: SiteConfig, items: list[ItemTruth]) -> bytes:
                 # (conditional-coalesce edge, dz100_zhaobiao.py:53-56)
                 "proUrl": it.url if pro else ("" if i % 3 == 1 else None),
                 "id": it.item_id,
-                "viewUrl": it.origin_url,
             }
         )
     return json.dumps({"data": {"list": nodes}}, ensure_ascii=False).encode("utf-8")

@@ -301,7 +301,7 @@ def crawl(
         config.select(
             "source", "parse_kind", "contents_base_url", "max_page",
             F.col("crawl_delay").alias("cfg_delay"),
-            "province", "city", "county", "site_name",
+            "province", "city", "county", "site_name", "origin_url_template",
         )
     )
 
@@ -368,7 +368,8 @@ def crawl(
         parsed = _scratch(
             parsed.select(
                 F.col("url").alias("parent_url"), "source", "page", "tpl",
-                "parse_kind", "contents_base_url", "max_page", "anns",
+                "parse_kind", "contents_base_url", "origin_url_template",
+                "max_page", "anns",
             ),
             scratch_pool,
         )
@@ -376,7 +377,7 @@ def crawl(
 
         ann = parsed.select(
             "parent_url", "source", "parse_kind", "contents_base_url",
-            F.explode("anns").alias("a"),
+            "origin_url_template", F.explode("anns").alias("a"),
         )
         detail_url = F.when(
             F.col("parse_kind") == "json_dz100",
@@ -402,13 +403,24 @@ def crawl(
             )
             .otherwise(F.trim(F.col("a.raw_time")))
         )
+        # origin_url: id-template synthesis (reference dz100_zhaobiao.py:58
+        # — crawl config, not a response field); null when the site has no
+        # template.
+        origin = F.when(
+            F.col("origin_url_template").isNotNull()
+            & F.col("a.item_id").isNotNull(),
+            F.replace(
+                F.col("origin_url_template"), F.lit("{id}"),
+                F.col("a.item_id").cast("string"),
+            ),
+        ).otherwise(F.col("a.origin_url"))
         cand = ann.select(
             "parent_url",
             detail_url.alias("url"),
             "source",
             F.trim(F.col("a.title")).alias("title"),
             pub.alias("publish_time"),
-            F.col("a.origin_url").alias("origin_url"),
+            origin.alias("origin_url"),
         ).withColumn("canon", canonicalize_url_col(F.col("url"))).withColumn(
             "url_hash", F.xxhash64("canon")
         ).withColumn("host", host_of(F.col("url")))

@@ -222,7 +222,11 @@ def _parse_dz100(raw: bytes | str) -> list[dict]:
             "href": None,
             "pro_url": n.get("proUrl"),
             "item_id": n.get("id"),
-            "origin_url": n.get("viewUrl"),
+            # origin_url is NOT read from the response: the reference
+            # synthesizes it from an id template (dz100_zhaobiao.py:58);
+            # the engine builds it in the driver from config
+            # origin_url_template.
+            "origin_url": None,
         })
     return out
 

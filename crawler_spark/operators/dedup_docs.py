@@ -96,16 +96,34 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
 
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 3,
-                        threshold: float = 0.5) -> DataFrame:
+                        threshold: float = 0.5,
+                        max_df: int | None = 1000) -> DataFrame:
     """Exact Jaccard over distinct k-shingle sets for pairs sharing at
     least one shingle (inverted-index join; ``explode`` + groupBy — the
-    candidate key is the shingle, so no all-pairs stage exists)."""
+    candidate key is the shingle, so no all-pairs stage exists).
+
+    ``max_df`` drops shingles whose document frequency exceeds the cap
+    BEFORE the self-join — a boilerplate shingle ("all rights reserved")
+    present in 1% of a 10^9-doc corpus would otherwise make the posting
+    -list self-join quadratic in that one key (10^14 pairs). Jaccard is
+    then over the non-boilerplate shingle sets (sizes computed after the
+    filter, so the ratio stays internally consistent); the SQL oracle
+    mirrors the same cap. A shingle shared by more than ``max_df`` docs
+    carries ~no dedup signal anyway."""
     from ..functions.text_fast import shingles_fast
 
     sh = docs.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(shingles_fast(F.col(text_col)))).alias("sh"),
     )
+    if max_df is not None:
+        hot = sh.groupBy("sh").agg(F.count("*").alias("df")).filter(
+            F.col("df") > max_df
+        )
+        # anti-join on the shingle key; the hot side is usually tiny
+        # (boilerplate only) — AQE picks broadcast when it is, and falls
+        # back to a shuffle join when a pathological corpus makes it big.
+        sh = sh.join(hot.select("sh"), "sh", "left_anti")
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     inter = (
         sh.alias("x")

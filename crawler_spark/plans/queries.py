@@ -381,8 +381,9 @@ def pagination_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     "provenance_enrichment",
     """
     WITH cfg(src, site_name, province) AS (
-      VALUES (0, '思泽招标网', '全国'), (1, '安徽平台', '安徽'),
-             (2, '电子标书网', '全国'), (3, '中原平台', '河南'), (4, '平顶山中心', '河南')
+      VALUES (0, '势必得招标网', ''), (1, '安徽寰亚国际招标有限公司', ''),
+             (2, '大众招标网', ''), (3, '中原招标投标网', '山东省'),
+             (4, '平顶山市公共资源交易中心', '河南省')
     )
     SELECT d.doc_id AS doc_id, c.site_name AS site_name, c.province AS province
     FROM documents d JOIN cfg c ON (d.doc_id % 5) = c.src
@@ -392,9 +393,13 @@ def pagination_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def provenance_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
+    # provenance values = the reference spiders' constants
+    # (sizebid_zhaobiao.py:16, ahhyzb_zhaobiao.py:16, dz100_zhaobiao.py:16,
+    #  zybtp_zhaobiao.py:20, Henan_KaiFeng_ggzy_zhaobiao.py:17)
     cfg = spark.createDataFrame(
-        [(0, "思泽招标网", "全国"), (1, "安徽平台", "安徽"), (2, "电子标书网", "全国"),
-         (3, "中原平台", "河南"), (4, "平顶山中心", "河南")],
+        [(0, "势必得招标网", ""), (1, "安徽寰亚国际招标有限公司", ""),
+         (2, "大众招标网", ""), (3, "中原招标投标网", "山东省"),
+         (4, "平顶山市公共资源交易中心", "河南省")],
         "src int, site_name string, province string",
     )
     return (

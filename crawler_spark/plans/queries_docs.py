@@ -218,11 +218,19 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.lsh_candidate_pairs(sigs).orderBy("id_a", "id_b")
 
 
+NGRAM_MAX_DF = 1000  # boilerplate-shingle cap, mirrored engine <-> oracle
+
+
 @q(
     "dedup_ngram_jaccard",
     f"""
-    WITH sh AS (
+    WITH sh0 AS (
       SELECT doc_id AS id, unnest(list_distinct({SQL_SHINGLES})) AS sh FROM documents
+    ), sh AS (
+      -- document-frequency cap (mirrors ngram_jaccard_pairs max_df):
+      -- boilerplate shingles never enter the posting-list self-join
+      SELECT id, sh FROM sh0
+      QUALIFY count(*) OVER (PARTITION BY sh) <= {NGRAM_MAX_DF}
     ), sizes AS (
       SELECT id, count(*) AS n FROM sh GROUP BY id
     ), inter AS (
@@ -236,11 +244,12 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
     ORDER BY id_a, id_b
     """,
-    "n-gram Jaccard dedup: inverted-index candidate join + exact verify",
+    "n-gram Jaccard dedup: inverted-index candidate join + exact verify; "
+    "hot-shingle DF cap bounds the self-join key skew",
 )
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.ngram_jaccard_pairs(
-        t(spark, sf_dir, "documents"), threshold=0.5
+        t(spark, sf_dir, "documents"), threshold=0.5, max_df=NGRAM_MAX_DF
     ).orderBy("id_a", "id_b")
 
 

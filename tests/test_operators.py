@@ -158,3 +158,49 @@ def test_parse_json_kind_and_malformed():
     assert items[0]["item_id"] == 5 and items[0]["pro_url"] is None
     assert parse_list_page("not json{", "json_dz100") == []
     assert parse_list_page('{"data":{}}', "json_dz100") == []
+
+
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    """A boilerplate shingle present in half the docs must be excluded by
+    the DF cap (bounding the posting-list self-join) — and the Jaccard
+    values must equal a pure-Python recomputation under the same cap."""
+    from crawler_spark.functions.text_fast import shingles_py
+    from crawler_spark.operators.dedup_docs import ngram_jaccard_pairs
+
+    boiler = "all rights reserved worldwide"
+    docs = []
+    for i in range(30):
+        body = f"unique tale number {i} about topic {i % 4} with twist {i}"
+        if i % 2 == 0:
+            body += " " + boiler          # hot shingles in 50% of docs
+        docs.append((i, body))
+    # one true near-dup pair, both carrying the boilerplate
+    docs.append((100, "identical payload text repeated here exactly " + boiler))
+    docs.append((101, "identical payload text repeated here exactly " + boiler))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    cap = 5
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, threshold=0.3, max_df=cap).collect()
+    }
+
+    # pure-Python mirror with the same cap
+    sets = {i: set(shingles_py(t)) for i, t in docs}
+    from collections import Counter
+
+    dfreq = Counter(s for v in sets.values() for s in v)
+    sets = {i: {s for s in v if dfreq[s] <= cap} for i, v in sets.items()}
+    want = {}
+    ids = sorted(sets)
+    for ai, a in enumerate(ids):
+        for b in ids[ai + 1:]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if inter and union and round(inter / union, 6) >= 0.3:
+                want[(a, b)] = round(inter / union, 6)
+    assert got == want
+    assert (100, 101) in got            # the true dup survives the cap
+    # and the boilerplate shingles were really dropped: no pair exists
+    # purely via the hot shingle (e.g. docs 0 and 2 share only boiler)
+    assert (0, 2) not in got
