@@ -96,8 +96,13 @@ def oracle_crawl(
                                    "wave": wave, "status": "robots"})
             frontier = [r for r in frontier
                         if robots_allowed_py(robots_rules, r["host"], r["url"])]
-            delay_over = {r["host"]: r["crawl_delay"] for r in robots_rules
-                          if r["path_prefix"] == "/" and r.get("crawl_delay")}
+            # one override per host; max = politest (mirrors apply_robots'
+            # aggregation of duplicate '/' rules)
+            delay_over: dict[str, float] = {}
+            for r in robots_rules:
+                if r["path_prefix"] == "/" and r.get("crawl_delay"):
+                    h = r["host"]
+                    delay_over[h] = max(delay_over.get(h, 0.0), r["crawl_delay"])
         else:
             delay_over = {}
 
@@ -159,11 +164,23 @@ def oracle_crawl(
         new_per_parent: dict[str, int] = {}
         for c in fresh:
             new_per_parent[c["parent_url"]] = new_per_parent.get(c["parent_url"], 0) + 1
-        # within-wave collapse (deterministic representative: first by canon
-        # — rows for the same canon are identical in all carried fields)
+        # within-wave collapse — deterministic representative per canon:
+        # min by (parent_url, url, publish_time, title, origin_url) with
+        # None smallest, mirroring the engine's struct-min (Spark struct
+        # ordering is field-by-field with nulls first; url_hash/host/
+        # source are functions of url so they never break a tie).
+        def _rep_key(c: dict):
+            def k(x):
+                return (x is not None, x if x is not None else "")
+
+            return (c["parent_url"], c["url"], k(c["publish_time"]),
+                    k(c["title"]), k(c["origin_url"]))
+
         new_detail: dict[str, dict] = {}
         for c in fresh:
-            new_detail.setdefault(c["canon"], c)
+            cur = new_detail.get(c["canon"])
+            if cur is None or _rep_key(c) < _rep_key(cur):
+                new_detail[c["canon"]] = c
 
         # pagination
         next_pages: list[dict] = []

@@ -30,8 +30,10 @@ WAVE SEMANTICS (the contract the pure-Python oracle in
    url.
 5. dedup gate (O10/E1): a candidate is NEW iff its canonical URL is
    not in the seen set as of wave start. Within-wave duplicates
-   collapse to one frontier row (but count as new for EVERY parent
-   page in step 6). NEW candidates join the frontier with
+   collapse to one frontier row — the representative is the struct-min
+   over (parent_url, url, publish_time, title, origin_url), nulls
+   first, a deterministic total order — (but count as new for EVERY
+   parent page in step 6). NEW candidates join the frontier with
    discovered_wave=k and enter the seen set.
 6. pagination (O12): a list page at page p enqueues page p+1 iff it
    parsed ≥1 item AND ≥1 of its candidates was NEW in step 5 AND
@@ -265,9 +267,18 @@ def crawl(
         store.drop_uncommitted("items")
         store.drop_uncommitted("errors")
         store.drop_uncommitted("pops")
-        frontier = store.read(spark, "frontier", FRONTIER_SCHEMA)
-        seen = store.read(spark, "seen", SEEN_SCHEMA)
-        shards = store.read(spark, "shards", dd.SHARD_SCHEMA) if params.use_bloom else None
+        # snapshot tables resolve through the checkpoint (the atomic
+        # multi-table commit point) — never through per-table manifests;
+        # staged-but-unnamed snapshot dirs from a torn crash are GC'd.
+        snaps: dict = ckpt.get("snapshots", {})
+        for tb, cid in snaps.items():
+            store.gc_snapshots(tb, cid)
+        frontier = store.read_snapshot(spark, "frontier", snaps.get("frontier"), FRONTIER_SCHEMA)
+        seen = store.read_snapshot(spark, "seen", snaps.get("seen"), SEEN_SCHEMA)
+        shards = (
+            store.read_snapshot(spark, "shards", snaps.get("shards"), dd.SHARD_SCHEMA)
+            if params.use_bloom else None
+        )
     else:
         frontier = seed_frontier(spark, sites)
         seen = frontier.select("canon", "url_hash")
@@ -282,11 +293,13 @@ def crawl(
             else None
         )
         if store is not None:
-            store.overwrite_latest(frontier, "frontier", "w0")
-            store.overwrite_latest(seen, "seen", "w0")
+            snaps = {"frontier": "w0", "seen": "w0"}
+            store.stage_snapshot(frontier, "frontier", "w0")
+            store.stage_snapshot(seen, "seen", "w0")
             if shards is not None:
-                store.overwrite_latest(shards, "shards", "w0")
-            store.save_checkpoint({"wave": 0, "pop_base": 0})
+                snaps["shards"] = "w0"
+                store.stage_snapshot(shards, "shards", "w0")
+            store.save_checkpoint({"wave": 0, "pop_base": 0, "snapshots": snaps})
 
     frontier = _checkpointed(frontier)
     seen = _checkpointed(seen)
@@ -440,15 +453,33 @@ def crawl(
         _tick("dedup_fresh_ckpt")
 
         new_per_parent = fresh.groupBy("parent_url").agg(F.count("*").alias("new_n"))
+        # within-wave collapse: DETERMINISTIC representative per canon —
+        # struct-min over a total order (Spark struct ordering: fields
+        # left-to-right, nulls first), not dropDuplicates (which keeps a
+        # partition-order-dependent row). corpus/oracle.py mirrors the
+        # same key.
         new_detail = (
-            fresh.dropDuplicates(["canon"])
+            fresh.groupBy("canon")
+            .agg(
+                F.min(
+                    F.struct(
+                        "parent_url", "url", "url_hash", "host", "source",
+                        "publish_time", "title", "origin_url",
+                    )
+                ).alias("r")
+            )
             .select(
-                "url", "canon", "url_hash", "host", "source",
+                F.col("r.url").alias("url"), "canon",
+                F.col("r.url_hash").alias("url_hash"),
+                F.col("r.host").alias("host"),
+                F.col("r.source").alias("source"),
                 F.lit("detail").alias("kind"),
                 F.lit(None).cast("int").alias("page"),
                 F.lit(None).cast("string").alias("tpl"),
                 F.lit(wave).alias("discovered_wave"),
-                "title", "publish_time", "origin_url",
+                F.col("r.title").alias("title"),
+                F.col("r.publish_time").alias("publish_time"),
+                F.col("r.origin_url").alias("origin_url"),
             )
         )
 
@@ -531,7 +562,9 @@ def crawl(
         n_items = wave_items.count()
         n_new = new_frontier.count()
         _tick("counts")
-        n_admitted = n_admitted if n_admitted is not None else (pending - deferred.count())
+        # direct count on the (cached) fetched scratch — `pending -
+        # deferred` would wrongly count robots-denied rows as admitted
+        n_admitted = n_admitted if n_admitted is not None else fetched.count()
         metrics.append(
             {
                 "wave": wave, "pending": pending, "admitted": n_admitted,
@@ -556,16 +589,26 @@ def crawl(
                 spark.createDataFrame([tuple(metrics[-1].values())], METRICS_SCHEMA),
                 "metrics", cid,
             )
-            store.overwrite_latest(frontier, "frontier", cid)
-            store.overwrite_latest(seen, "seen", cid)
+            # stage every snapshot table first; the checkpoint's single
+            # atomic rename then commits them ALL at once (no window
+            # where frontier is at w(k) but seen at w(k-1) — lakestore
+            # docstring, ADVICE round 1)
+            snaps = {"frontier": cid, "seen": cid}
+            store.stage_snapshot(frontier, "frontier", cid)
+            store.stage_snapshot(seen, "seen", cid)
             if shards is not None:
-                store.overwrite_latest(shards, "shards", cid)
-            store.save_checkpoint({"wave": wave, "pop_base": pop_base})
+                snaps["shards"] = cid
+                store.stage_snapshot(shards, "shards", cid)
+            store.save_checkpoint(
+                {"wave": wave, "pop_base": pop_base, "snapshots": snaps}
+            )
+            for tb, c in snaps.items():
+                store.gc_snapshots(tb, c)
             # re-read state so each wave starts from durable parquet
-            frontier = store.read(spark, "frontier", FRONTIER_SCHEMA)
-            seen = store.read(spark, "seen", SEEN_SCHEMA)
+            frontier = store.read_snapshot(spark, "frontier", cid)
+            seen = store.read_snapshot(spark, "seen", cid)
             if shards is not None:
-                shards = store.read(spark, "shards", dd.SHARD_SCHEMA)
+                shards = store.read_snapshot(spark, "shards", cid)
 
     pages_slim.unpersist()
     items = _union_all(spark, items_acc, ITEMS_SCHEMA)

@@ -60,9 +60,14 @@ def apply_robots(frontier: DataFrame, rules: DataFrame) -> DataFrame:
         .filter(F.col("_rk") == 1)
         .withColumn("robots_allowed", F.coalesce(F.col("_rallow"), F.lit(True)))
     )
-    # host-level delay override comes from the '/' rule of that host
-    delays = rules.filter(F.col("path_prefix") == "/").select(
-        F.col("host").alias("_dhost"), F.col("crawl_delay").alias("robots_delay")
+    # host-level delay override comes from the '/' rule of that host —
+    # aggregated to ONE row per host (max = politest), so a malformed
+    # rules table with several '/' rules cannot fan out frontier rows
+    # and corrupt admission counts. corpus/oracle.py mirrors the max.
+    delays = (
+        rules.filter(F.col("path_prefix") == "/")
+        .groupBy(F.col("host").alias("_dhost"))
+        .agg(F.max("crawl_delay").alias("robots_delay"))
     )
     return (
         best.join(F.broadcast(delays), F.col("host") == F.col("_dhost"), "left")

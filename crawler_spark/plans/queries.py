@@ -347,6 +347,81 @@ def politeness_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ROBOTS_RULES = [
+    # (host, path_prefix, allow, crawl_delay) — exercises: host-level
+    # delay, deny-all, longest-prefix re-allow, duplicate '/' rules
+    # (delay aggregation), equal-length allow/deny tie (deny wins),
+    # rule-less hosts (default allow).
+    ("site0.local", "/", True, 1.5),
+    ("site0.local", "/sec1", False, None),
+    ("site0.local", "/sec1/doc", True, None),
+    ("site1.local", "/", False, 2.0),
+    ("site2.local", "/sec3", False, None),
+    ("site3.local", "/", True, 1.0),
+    ("site3.local", "/", True, 3.0),
+    ("site4.local", "/sec5", True, None),
+    ("site4.local", "/sec5", False, None),
+]
+
+
+@q(
+    "robots_gate",
+    f"""
+    WITH u AS (
+      SELECT doc_id,
+             'site' || (doc_id % 7) || '.local' AS host,
+             '/sec' || (doc_id % 13) || '/doc/' || doc_id AS path
+      FROM documents
+    ), r(host, path_prefix, allow, crawl_delay) AS (
+      VALUES {", ".join(
+        "('%s', '%s', %s, %s)" % (
+            h, p, str(a).lower(),
+            "CAST(NULL AS DOUBLE)" if d is None else f"CAST({d} AS DOUBLE)")
+        for h, p, a, d in _ROBOTS_RULES)}
+    ), m AS (
+      SELECT u.doc_id, u.host, r.path_prefix, r.allow
+      FROM u LEFT JOIN r ON u.host = r.host AND starts_with(u.path, r.path_prefix)
+    ), best AS (
+      SELECT doc_id, host, allow FROM m
+      QUALIFY row_number() OVER (
+        PARTITION BY doc_id
+        ORDER BY len(path_prefix) DESC NULLS LAST, allow ASC NULLS LAST) = 1
+    ), d AS (
+      SELECT host, max(crawl_delay) AS robots_delay
+      FROM r WHERE path_prefix = '/' GROUP BY host
+    )
+    SELECT b.doc_id AS doc_id, b.host AS host,
+           coalesce(b.allow, true) AS robots_allowed,
+           d.robots_delay AS robots_delay
+    FROM best b LEFT JOIN d ON b.host = d.host
+    ORDER BY doc_id
+    """,
+    "E4 robots gate: longest-prefix allow/deny + aggregated host-level "
+    "crawl-delay override (operators/robots.py)",
+)
+def robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.robots import ROBOTS_SCHEMA, apply_robots
+
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    host = F.concat(F.lit("site"), (F.col("doc_id") % 7).cast("string"),
+                    F.lit(".local"))
+    u = d.select(
+        "doc_id",
+        host.alias("host"),
+        F.concat(
+            F.lit("https://"), host, F.lit("/sec"),
+            (F.col("doc_id") % 13).cast("string"),
+            F.lit("/doc/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    rules = spark.createDataFrame(_ROBOTS_RULES, ROBOTS_SCHEMA)
+    return (
+        apply_robots(u, rules)
+        .select("doc_id", "host", "robots_allowed", "robots_delay")
+        .orderBy("doc_id")
+    )
+
+
 @q(
     "pagination_growth",
     """

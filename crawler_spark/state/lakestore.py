@@ -11,17 +11,29 @@ id — over plain parquet directories, so swapping in Iceberg is a
 one-class change (``writeTo(...).append()`` instead of
 ``parquet(dir)`` + manifest update).
 
-Commit protocol (crash-safe, idempotent):
+Two table classes, two commit protocols (both crash-safe, idempotent):
 
-1. data is written to ``<root>/<table>/<commit_id>/`` (a directory per
-   commit; Spark writes its ``_SUCCESS`` marker there);
-2. the table's ``_commits.json`` is rewritten via temp-file + atomic
-   ``os.replace`` to include the new commit id.
+- **Append tables** (items/errors/pops/metrics — the log):
+  1. data is written to ``<root>/<table>/<commit_id>/``;
+  2. the table's ``_commits.json`` is rewritten via temp-file + atomic
+     ``os.replace`` to include the new commit id.
+  A directory absent from ``_commits.json`` is an aborted write:
+  readers never see it, and a re-run of the same commit id overwrites
+  it (mode=overwrite), making wave re-execution idempotent.
 
-A directory that exists but is absent from ``_commits.json`` is an
-aborted write: readers never see it, and a re-run of the same commit id
-overwrites it (mode=overwrite), which is what makes wave re-execution
-after a crash idempotent (tested in tests/test_resume.py).
+- **Snapshot tables** (frontier/seen/shards — replaced every wave):
+  ``stage_snapshot`` only writes the data directory; the snapshot
+  becomes current when ``save_checkpoint`` records its commit id in
+  ``_checkpoint.json['snapshots']``. The checkpoint's single atomic
+  ``os.replace`` is therefore the commit point for ALL of a wave's
+  snapshot tables AT ONCE — a crash between per-table writes can never
+  expose mixed-wave state (frontier at w(k+1) with seen at w(k)), which
+  per-table manifest swaps allowed. Superseded/aborted snapshot dirs
+  are garbage-collected after the checkpoint lands (``gc_snapshots``),
+  so a long crawl does not leak one directory per wave.
+
+Both are tested in tests/test_resume.py, including a torn multi-table
+snapshot write.
 """
 
 from __future__ import annotations
@@ -73,13 +85,41 @@ class LakeStore:
             commits.append(commit_id)
         self._write_manifest(table, commits)
 
-    def overwrite_latest(self, df: DataFrame, table: str, commit_id: str) -> None:
-        """Snapshot semantics: this commit REPLACES the table contents
-        (used for the frontier, which is a snapshot per wave, not a log)."""
+    def stage_snapshot(self, df: DataFrame, table: str, commit_id: str) -> None:
+        """Write a snapshot's data directory WITHOUT making it visible.
+        It becomes current only when a later ``save_checkpoint`` names
+        it in ``snapshots`` — one atomic rename commits every snapshot
+        table of the wave together."""
         tdir = os.path.join(self.root, table)
         os.makedirs(tdir, exist_ok=True)
         df.write.mode("overwrite").parquet(os.path.join(tdir, commit_id))
-        self._write_manifest(table, [commit_id])
+
+    def read_snapshot(
+        self,
+        spark: SparkSession,
+        table: str,
+        commit_id: str | None,
+        schema: T.StructType | None = None,
+    ) -> DataFrame:
+        """Read the snapshot the checkpoint names; empty if never
+        committed (commit_id None)."""
+        if commit_id is None:
+            if schema is None:
+                raise ValueError(f"snapshot {table!r} has no commit and no schema given")
+            return spark.createDataFrame([], schema)
+        return spark.read.parquet(os.path.join(self.root, table, commit_id))
+
+    def gc_snapshots(self, table: str, keep: str) -> None:
+        """Delete snapshot directories other than ``keep`` — superseded
+        previous waves and aborted stage attempts. Call only AFTER the
+        checkpoint naming ``keep`` has landed."""
+        tdir = os.path.join(self.root, table)
+        if not os.path.isdir(tdir):
+            return
+        for d in os.listdir(tdir):
+            full = os.path.join(tdir, d)
+            if os.path.isdir(full) and d != keep:
+                shutil.rmtree(full)
 
     def read(self, spark: SparkSession, table: str, schema: T.StructType | None = None) -> DataFrame:
         commits = self.commits(table)

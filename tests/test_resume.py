@@ -80,3 +80,44 @@ def test_uncommitted_wave_is_replayed(spark, small_pages, tmp_path_factory):
     assert len(after) >= len(before)
     # w3 now exists as a real commit (the resumed run's first wave)
     assert "w3" in store.commits("items")
+
+
+def test_torn_multi_table_snapshot_swap(spark, small_pages, tmp_path_factory):
+    """Crash AFTER staging some snapshot tables but BEFORE the checkpoint
+    (the atomic multi-table commit point): resume must ignore the staged
+    dirs, GC them, and replay from the last consistent wave — final
+    items identical to an uninterrupted run."""
+    import os
+
+    spec, pages = small_pages
+    params = CrawlParams(wave_seconds=4.0, use_bloom=True, n_shards=4, max_waves=100)
+
+    s_full = LakeStore(str(tmp_path_factory.mktemp("full2")))
+    crawl(spark, pages, params, store=s_full)
+
+    s_torn = LakeStore(str(tmp_path_factory.mktemp("torn")))
+    p2 = CrawlParams(**{**params.__dict__, "max_waves": 2})
+    crawl(spark, pages, p2, store=s_torn)
+    ckpt = s_torn.load_checkpoint()
+    assert ckpt["wave"] == 2 and ckpt["snapshots"]["frontier"] == "w2"
+
+    # torn crash: wave 3's frontier staged (and a stale seen attempt),
+    # but the checkpoint never landed
+    tainted = s_torn.read_snapshot(spark, "frontier", "w2").limit(1)
+    s_torn.stage_snapshot(tainted, "frontier", "w3")
+    s_torn.stage_snapshot(s_torn.read_snapshot(spark, "seen", "w2").limit(1), "seen", "w3")
+    assert os.path.isdir(s_torn.root + "/frontier/w3")
+
+    r = crawl(spark, pages, params, store=s_torn, resume=True)
+    assert r.waves >= 3
+
+    a = _items_pdf(s_full, spark)
+    b = _items_pdf(s_torn, spark)
+    pd.testing.assert_frame_equal(a, b)
+    # the torn dirs were garbage-collected, and exactly one snapshot dir
+    # remains per table (the current wave)
+    final = s_torn.load_checkpoint()["snapshots"]["frontier"]
+    assert sorted(
+        d for d in os.listdir(s_torn.root + "/frontier")
+        if os.path.isdir(s_torn.root + "/frontier/" + d)
+    ) == [final]
