@@ -6,8 +6,10 @@ loop}. One Scrapy process, one event loop, in-memory state.
 
 Ours: the frontier is a DataFrame (durably a LakeStore snapshot per
 wave); each wave is a handful of Spark jobs; all state transitions are
-joins/windows; parsing crosses into Python only through two Arrow
-pandas UDFs. Waves, not streams: the wave barrier is semantically
+joins/windows; parsing crosses into Python only through ONE Arrow
+pandas UDF (``enrich_page``: per-row list-parse / detail-extract
+dispatch in a single pass over the fetched html, which is dropped
+before any state is checkpointed). Waves, not streams: the wave barrier is semantically
 required — each wave's discovered links must be checked against the
 seen set as of the wave start (north_rule).
 
@@ -60,7 +62,7 @@ from pyspark.sql import types as T
 
 from ..canonical import canonicalize_url, canonicalize_url_col, host_of, host_of_py
 from ..config import SITES, SiteConfig, crawl_config_df
-from ..functions.parsing import extract_text, parse_list
+from ..functions.parsing import enrich_page
 from ..operators import dedup as dd
 from ..operators.politeness import admit_per_host, host_budget, pop_order
 from ..operators.robots import apply_robots
@@ -209,22 +211,42 @@ def _checkpointed(df: DataFrame) -> DataFrame:
     return DataFrame(njdf, spark)
 
 
-def _checkpoint_many(dfs: list[DataFrame | None]) -> list[DataFrame | None]:
+def _checkpoint_many(
+    dfs: list[DataFrame | None],
+    posts: list | None = None,
+    ckpt: list[bool] | None = None,
+) -> tuple[list[DataFrame | None], list]:
     """Eager-checkpoint several DataFrames CONCURRENTLY (one thread per
-    action — Spark schedules concurrent jobs fine). The wave loop runs
-    ~10 actions per wave; serial scheduling latency (~0.3-1s each) was
-    a fixed ~10s/wave tax that throttled scaling efficiency."""
+    action — Spark schedules concurrent jobs fine). Serial scheduling
+    latency (~0.3-1s per action) was a fixed ~10s/wave tax that
+    throttled scaling efficiency.
+
+    ``posts[i]`` (optional callable) runs on the checkpointed DataFrame
+    in the SAME thread — metric counts piggyback on the concurrent
+    phase instead of being separate serial jobs afterwards.
+    ``ckpt[i]=False`` skips the checkpoint and only runs the post (for
+    DataFrames that are cheap projections of an already-checkpointed
+    parent — re-materializing their payload would double the write).
+    Returns (checkpointed dfs, post results)."""
     from concurrent.futures import ThreadPoolExecutor
 
+    posts = posts or [None] * len(dfs)
+    ckpt = ckpt or [True] * len(dfs)
     live = [(i, df) for i, df in enumerate(dfs) if df is not None]
     out: list[DataFrame | None] = list(dfs)
-    if not live:
-        return out
-    with ThreadPoolExecutor(max_workers=len(live)) as ex:
-        futs = {ex.submit(lambda d=df: _checkpointed(d)): i for i, df in live}
-        for fut, i in futs.items():
-            out[i] = fut.result()
-    return out
+    extras: list = [None] * len(dfs)
+
+    def work(i: int, df: DataFrame):
+        ck = _checkpointed(df) if ckpt[i] else df
+        p = posts[i]
+        return ck, (p(ck) if p is not None else None)
+
+    if live:
+        with ThreadPoolExecutor(max_workers=len(live)) as ex:
+            futs = {ex.submit(work, i, df): i for i, df in live}
+            for fut, i in futs.items():
+                out[i], extras[i] = fut.result()
+    return out, extras
 
 
 def _scratch(df: DataFrame, pool: list) -> DataFrame:
@@ -318,11 +340,14 @@ def crawl(
         )
     )
 
+    # `pending` is counted ONCE here; every later wave derives it from the
+    # frontier checkpoint's piggybacked count (no extra serial job).
+    pending = frontier.count()
     while wave < params.max_waves:
-        pending = frontier.count()
         if pending == 0:
             break
         wave += 1
+        wave_pending = pending  # this wave's frontier size (for metrics)
         _tick(f"wave {wave} begin (pending={pending})")
 
         f = frontier.join(cfg_cols, "source", "left")
@@ -359,13 +384,36 @@ def crawl(
         else:
             n_admitted = None
 
-        # ---- fetch: equi-join against the corpus (O2) --------------------
+        # ---- fetch + parse + extract: the wave's ONE heavy pass (O2,
+        # O3-O5, O11) --------------------------------------------------
+        # Join against the corpus, then a single Arrow UDF touches every
+        # page's html exactly once (list-parse OR detail-extract,
+        # dispatched per row) and the html is DROPPED before the
+        # checkpoint: only the parse products (anns / text) are
+        # materialized. Everything downstream — errors, candidates,
+        # items, pagination — is a cheap projection of this checkpoint.
         scratch_pool: list[DataFrame] = []
-        fetched = admitted.join(pages_slim, "url", "left")
-        fetched = _scratch(fetched, scratch_pool)
+        enriched = (
+            admitted.join(pages_slim, "url", "left")
+            .withColumn("fetch_ok", F.col("html").isNotNull())
+            .withColumn(
+                "_e", enrich_page(F.col("html"), F.col("kind"), F.col("parse_kind"))
+            )
+            .select(
+                *[c.name for c in FRONTIER_SCHEMA],
+                "parse_kind", "contents_base_url", "origin_url_template",
+                "max_page", "province", "city", "county", "site_name",
+                "fetch_ok",
+                F.col("_e.anns").alias("anns"),
+                F.col("_e.text").alias("text"),
+            )
+        )
+        fetched = _checkpointed(enriched)
+        if n_admitted is None:
+            n_admitted = fetched.count()  # cheap: checkpointed RDD
         _tick("fetch_ckpt")
 
-        misses = fetched.filter(F.col("html").isNull())
+        misses = fetched.filter(~F.col("fetch_ok"))
         wave_errors.append(
             misses.select(
                 "url", "source", "kind", F.lit(wave).alias("wave"),
@@ -375,16 +423,11 @@ def crawl(
         werr = _union_all(spark, wave_errors, ERRORS_SCHEMA)  # materialized below
         _tick("errors_built")
 
-        # ---- list branch: parse + candidates (O3-O8) ---------------------
-        lists = fetched.filter((F.col("kind") == "list") & F.col("html").isNotNull())
-        parsed = lists.withColumn("anns", parse_list(F.col("html"), F.col("parse_kind")))
-        parsed = _scratch(
-            parsed.select(
-                F.col("url").alias("parent_url"), "source", "page", "tpl",
-                "parse_kind", "contents_base_url", "origin_url_template",
-                "max_page", "anns",
-            ),
-            scratch_pool,
+        # ---- list branch: candidates (O3-O8) — pure projections ----------
+        parsed = fetched.filter((F.col("kind") == "list") & F.col("fetch_ok")).select(
+            F.col("url").alias("parent_url"), "source", "page", "tpl",
+            "parse_kind", "contents_base_url", "origin_url_template",
+            "max_page", "anns",
         )
         _tick("parse_ckpt")
 
@@ -526,25 +569,31 @@ def crawl(
 
         new_frontier = new_detail.unionByName(new_pages.select(*new_detail.columns))
 
-        # ---- detail branch: extract + sink (O11, O9) ---------------------
-        details = fetched.filter((F.col("kind") == "detail") & F.col("html").isNotNull())
+        # ---- detail branch: item rows (O11, O9) — projection only --------
+        # (text was extracted in the single enrich pass; provenance cols
+        # were joined before the checkpoint)
+        details = fetched.filter((F.col("kind") == "detail") & F.col("fetch_ok"))
         wave_items = details.select(
             "url", "source", "title", "publish_time", "origin_url",
-            "province", "city", "county", "site_name",
-            extract_text(F.col("html")).alias("text"),
+            "province", "city", "county", "site_name", "text",
             F.lit(wave).alias("wave"),
         )
-        # materialize the wave's three outputs CONCURRENTLY (overlapping
-        # job-scheduling latency; see _checkpoint_many)
-        werr, new_frontier, wave_items = _checkpoint_many(
-            [werr, new_frontier, wave_items]
-        )
-        _tick("outputs_ckpt")
-        errors_acc.append(werr)
-        items_acc.append(wave_items)
-
-        # ---- state transition --------------------------------------------
-        seen2 = seen.unionByName(new_frontier.select("canon", "url_hash"))
+        # ---- outputs + state transition: ONE concurrent phase ------------
+        # new_frontier stays a lazily-persisted scratch: the six jobs
+        # below share its cache (first consumer materializes it), so the
+        # state unions don't recompute the probe work, and outputs and
+        # state checkpoint TOGETHER — two serial barriers collapsed into
+        # one whose wall is max(job), not sum(phase). Metric counts
+        # piggyback on the same threads.
+        #
+        # coalesce bounds partition-count growth across waves (a union
+        # per wave otherwise accretes partitions without bound — by wave
+        # 50 every seen-derived stage schedules hundreds of near-empty
+        # tasks); coalesce is a narrow merge, no shuffle.
+        new_frontier = _scratch(new_frontier, scratch_pool)
+        seen2 = seen.unionByName(
+            new_frontier.select("canon", "url_hash")
+        ).coalesce(n_part)
         shards2 = (
             dd.update_shards(
                 shards, new_frontier.select("url_hash"),
@@ -552,22 +601,35 @@ def crawl(
             )
             if shards is not None else None
         )
-        frontier2 = deferred.unionByName(new_frontier)
-        seen, shards2, frontier = _checkpoint_many([seen2, shards2, frontier2])
+        frontier2 = deferred.unionByName(new_frontier).coalesce(n_part)
+        # werr and wave_items are one-hop projections of the fetched
+        # checkpoint — re-materializing them would write every item's
+        # text to the block store a second time, so ckpt=False: they are
+        # accumulated lazily and only their counts run here.
+        (
+            (werr, wave_items, new_frontier, seen, shards2, frontier),
+            (n_miss, n_items, n_new, _, _, pending),
+        ) = _checkpoint_many(
+            [werr, wave_items, new_frontier, seen2, shards2, frontier2],
+            posts=[
+                lambda d: d.filter(F.col("status") == "miss").count(),
+                lambda d: d.count(),
+                lambda d: d.count(),
+                None,
+                None,
+                lambda d: d.count(),
+            ],
+            ckpt=[False, False, True, True, True, True],
+        )
         if shards is not None:
             shards = shards2
-        _tick("state_ckpt")
+        errors_acc.append(werr)
+        items_acc.append(wave_items)
+        _tick("outputs_state_ckpt")
 
-        n_miss = werr.filter(F.col("status") == "miss").count()
-        n_items = wave_items.count()
-        n_new = new_frontier.count()
-        _tick("counts")
-        # direct count on the (cached) fetched scratch — `pending -
-        # deferred` would wrongly count robots-denied rows as admitted
-        n_admitted = n_admitted if n_admitted is not None else fetched.count()
         metrics.append(
             {
-                "wave": wave, "pending": pending, "admitted": n_admitted,
+                "wave": wave, "pending": wave_pending, "admitted": n_admitted,
                 "fetched_ok": n_admitted - n_miss, "missed": n_miss,
                 "items": n_items, "new_urls": n_new,
             }

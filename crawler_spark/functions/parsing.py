@@ -294,3 +294,39 @@ def extract_text_page(html: bytes | str | None) -> str | None:
 @F.pandas_udf(T.StringType())
 def extract_text(html: pd.Series) -> pd.Series:
     return pd.Series([extract_text_page(h) for h in html], dtype=object)
+
+
+# ---------------------------------------------------------------------------
+# single-pass page enrichment (the wave loop's one heavy UDF)
+# ---------------------------------------------------------------------------
+
+ENRICH_STRUCT = T.StructType(
+    [
+        T.StructField("anns", ITEM_ARRAY),     # list pages: parsed items
+        T.StructField("text", T.StringType()),  # detail pages: extracted text
+    ]
+)
+
+
+@F.pandas_udf(ENRICH_STRUCT)
+def enrich_page(
+    html: pd.Series, kind: pd.Series, parse_kind: pd.Series
+) -> pd.DataFrame:
+    """Dispatch list-parse vs detail-extract per row in ONE Arrow pass —
+    the wave loop touches each fetched page's html exactly once and
+    checkpoints only the (much smaller) parse products, never the html.
+    (Two separate ``when``-guarded UDF columns would evaluate both UDFs
+    over every row: Catalyst does not short-circuit UDF branches.)"""
+    anns: list = []
+    texts: list = []
+    for h, k, pk in zip(html, kind, parse_kind):
+        if h is None:
+            anns.append(None)
+            texts.append(None)
+        elif k == "list":
+            anns.append(parse_list_page(h, pk))
+            texts.append(None)
+        else:
+            anns.append(None)
+            texts.append(extract_text_page(h))
+    return pd.DataFrame({"anns": anns, "text": texts})

@@ -131,6 +131,13 @@ def densify(shards: DataFrame, m_bits: int) -> DataFrame:
     return shards.groupBy("shard").applyInPandas(scatter, BLOB_SCHEMA)
 
 
+# broadcast the dense blobs when the whole filter fits comfortably in
+# the driver/executors (sandbox: 64 shards x 16KiB = 1MB); above this
+# the probe is a shuffle join on shard, which is the 10^10-scale story
+# (4096 x 3MB = 12GB of blobs moved once per wave).
+BROADCAST_BLOB_BYTES = 64 * 1024 * 1024
+
+
 def probe_shards(
     candidates: DataFrame,
     blobs: DataFrame,
@@ -138,9 +145,17 @@ def probe_shards(
     m_bits: int,
 ) -> DataFrame:
     """Adds ``maybe_seen`` via one join + a codegen bit test. Candidates
-    must carry ``url_hash``; ``blobs`` comes from :func:`densify`."""
+    must carry ``url_hash``; ``blobs`` comes from :func:`densify`.
+
+    The blob side's stats are opaque to Catalyst (it comes out of an
+    applyInPandas), so without a hint the planner picks a sort-merge
+    join and re-shuffles every candidate by shard. When the bloom is
+    broadcast-sized the probe must be a broadcast hash join — a NARROW
+    stage over the candidates, no exchange at all."""
     keyed = candidates.withColumn("_shard", _shard_of(F.col("url_hash"), n_shards))
     blob = blobs.select(F.col("shard").alias("_shard"), "words")
+    if n_shards * (m_bits // 8) <= BROADCAST_BLOB_BYTES:
+        blob = F.broadcast(blob)
     joined = keyed.join(blob, "_shard", "left")
     for i in range(K_HASHES):
         joined = joined.withColumn(f"_p{i}", _pos(F.col("url_hash"), i, m_bits))

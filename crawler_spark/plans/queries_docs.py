@@ -413,6 +413,50 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents.unpersist()
 
 
+@q(
+    "ann_gemm_batch_topk",
+    """
+    WITH q AS (
+      SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id < 3
+    ), e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE vec_id >= 3
+    ), scored AS (
+      SELECT q.qid, e.vec_id,
+             round(
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(generate_series(1, len(v)), i -> v[i] * qv[i])), (s, x) -> s + x)
+               / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list_transform(v, x -> x * x)), (s, x) -> s + x))
+                * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list_transform(qv, x -> x * x)), (s, x) -> s + x))), 6) AS sim
+      FROM e, q
+    )
+    SELECT CAST(qid AS INT) AS query_idx, vec_id, sim,
+           CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+    ORDER BY query_idx, rank
+    """,
+    "similarity search, many-queries path: per-batch numpy GEMM against "
+    "all queries, per-partition local top-k, partitioned final window",
+)
+def ann_gemm_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    e = t(spark, sf_dir, "embeddings")
+    rows = e.filter(F.col("vec_id") < 3).orderBy("vec_id").collect()
+    qs = np.array([[float(x) for x in r["embedding"]] for r in rows])
+    qs = qs / np.linalg.norm(qs, axis=1, keepdims=True)
+    # query_idx enumerates qs in vec_id order, so query_idx == vec_id here
+    return (
+        SIM.batch_topk_pandas(e.filter(F.col("vec_id") >= 3), qs, k=5)
+        .select("query_idx", "vec_id", "sim", "rank")
+        .orderBy("query_idx", "rank")
+    )
+
+
 # ===========================================================================
 # multimodal plumbing
 # ===========================================================================
