@@ -7,11 +7,12 @@ virtual web, returning the extracted items DataFrame.
 ``queries()`` / ``oracle_sql()`` — the operator registry of
 ``crawler_spark/plans/queries*.py``: each implemented operator from
 SURVEY.md §2 (plus the training-data pipeline families) as a
-(spark_fn, DuckDB-oracle-SQL) pair. Non-SQL-expressible entries (the
-iterative crawl loop, IVF probing) omit the oracle → rows-only check;
-their correctness is covered by the pytest oracle suite instead
-(tests/test_crawl_e2e.py compares the engine bit-exact against a
-pure-Python reference crawler).
+(spark_fn, DuckDB-oracle-SQL) pair. As of round 2 EVERY entry carries
+an oracle: the iterative crawl loop's oracle is a SELECT over the
+golden parquet materialized from the pure-Python reference crawler
+(jobs/make_crawl_golden.py; bit-exactness additionally pinned by
+tests/test_crawl_e2e.py), and IVF probing has a full centroid-ranking
+SQL oracle.
 """
 
 from __future__ import annotations

@@ -370,7 +370,14 @@ def crawl(
             f = f.withColumn("eff_delay", F.col("cfg_delay"))
 
         f = f.withColumn("budget", host_budget(params.wave_seconds, F.col("eff_delay")))
-        marked = admit_per_host(f, "budget", n_salts=params.n_salts)
+        # persist the admission window's output: both the fetch job
+        # (admitted) and the state-transition job (deferred → frontier2)
+        # consume it — without the cache the window shuffle+sort over the
+        # whole pending frontier runs twice per wave
+        scratch_pool: list[DataFrame] = []
+        marked = _scratch(
+            admit_per_host(f, "budget", n_salts=params.n_salts), scratch_pool
+        )
         admitted = marked.filter(F.col("admitted")).drop("admitted", "budget", "eff_delay")
         deferred = marked.filter(~F.col("admitted")).select(*[c.name for c in FRONTIER_SCHEMA])
         _tick("admit")
@@ -392,7 +399,6 @@ def crawl(
         # checkpoint: only the parse products (anns / text) are
         # materialized. Everything downstream — errors, candidates,
         # items, pagination — is a cheap projection of this checkpoint.
-        scratch_pool: list[DataFrame] = []
         enriched = (
             admitted.join(pages_slim, "url", "left")
             .withColumn("fetch_ok", F.col("html").isNotNull())

@@ -522,9 +522,7 @@ def conditional_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
 # events: sessionization + windowed aggregation (+ streaming variant)
 # ===========================================================================
 
-@q(
-    "events_sessionize",
-    """
+_SESSIONIZE_SQL = """
     WITH marked AS (
       SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
@@ -540,7 +538,12 @@ def conditional_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(floor(epoch(min(ts))) AS BIGINT) AS start_epoch,
            CAST(floor(epoch(max(ts))) AS BIGINT) AS end_epoch
     FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id
-    """,
+    """
+
+
+@q(
+    "events_sessionize",
+    _SESSIONIZE_SQL,
     "sessionization: lag + cumulative window (guide OLAP pattern)",
 )
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -551,6 +554,25 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "session_id", "n_events",
         F.unix_timestamp("session_start").alias("start_epoch"),
         F.unix_timestamp("session_end").alias("end_epoch"),
+    ).orderBy("user_id", "session_id")
+
+
+@q(
+    "events_stream_sessionize",
+    _SESSIONIZE_SQL,
+    "custom STATEFUL streaming operator: applyInPandasWithState "
+    "sessionization, per-user state carried across micro-batches "
+    "(maxFilesPerTrigger=1 over time-split files); must equal the batch "
+    "sessionize oracle — which holds only if the cross-batch state "
+    "handoff is correct",
+)
+def events_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import sessionize_stream
+
+    out = sessionize_stream(spark, f"{sf_dir}/events.parquet", gap_minutes=30)
+    return out.select(
+        "user_id", F.col("session_id").cast("long").alias("session_id"),
+        "n_events", "start_epoch", "end_epoch",
     ).orderBy("user_id", "session_id")
 
 
