@@ -135,9 +135,20 @@ def phase_crawl(cores: int) -> dict:
     # per-wave scheduling latency (measured: ~40% of wave wall at
     # sandbox scale). shuffle_partitions = 3x slots for straggler-free
     # granularity.
-    spark = get_spark(app_name=f"bench-crawl-{cores}", cores=cores,
-                      shuffle_partitions=cores * 3,
-                      extra_conf={"spark.sql.adaptive.enabled": "false"})
+    spark = get_spark(
+        app_name=f"bench-crawl-{cores}", cores=cores,
+        shuffle_partitions=cores * 3,
+        extra_conf={
+            "spark.sql.adaptive.enabled": "false",
+            # single wedged tasks (observed: one straggler stalling a
+            # wave for minutes while the box is otherwise idle) get a
+            # speculative re-launch — the same mitigation a real
+            # 1000-executor crawl would run with
+            "spark.speculation": "true",
+            "spark.speculation.multiplier": "2",
+            "spark.speculation.quantile": "0.75",
+        },
+    )
     sites, spec, pages = _bench_corpus(spark, wg, persist=False)
     n_pages = pages.count()  # generation/read excluded from the timed window
     log(f"cores={cores} corpus ready: {n_pages} pages")
@@ -158,10 +169,15 @@ def phase_crawl(cores: int) -> dict:
     )
     log(f"cores={cores} warmup done")
 
-    # best of 3 full crawls (shared-VM ambient noise bursts up to ~70%
-    # — min-of-3 is the least-contended run; each run rebuilds all
-    # state from the seeds, results identical — asserted)
-    walls, results = [], []
+    # best of 3 full crawls; keep ONLY the metric dicts between reps —
+    # holding the CrawlResult pins every rep's item DataFrames and
+    # therefore their localCheckpoint blocks (~1.5 GB of text per run),
+    # which degraded rep 2+ by 2-4x (measured: walls [55, 198, 80] on an
+    # IDLE box before this fix — the "noise" was self-induced memory
+    # pressure).
+    import gc
+
+    walls, metric_runs, waves = [], [], 0
     for _ in range(3):
         t0 = time.time()
         res = crawl(
@@ -172,22 +188,26 @@ def phase_crawl(cores: int) -> dict:
             sites=sites,
         )
         walls.append(time.time() - t0)
-        results.append(res)
+        metric_runs.append(res.metrics)
+        waves = res.waves
+        del res  # release item/error DF refs -> checkpoint blocks free
+        gc.collect()
+        spark._jvm.System.gc()
     assert all(
-        [m["items"] for m in r.metrics] == [m["items"] for m in results[0].metrics]
-        for r in results[1:]
+        [m["items"] for m in r] == [m["items"] for m in metric_runs[0]]
+        for r in metric_runs[1:]
     )
-    res = results[0]
+    mets = metric_runs[0]
     wall = min(walls)
-    urls = sum(m["admitted"] for m in res.metrics)
-    fetched = sum(m["fetched_ok"] for m in res.metrics)
-    items = sum(m["items"] for m in res.metrics)
+    urls = sum(m["admitted"] for m in mets)
+    fetched = sum(m["fetched_ok"] for m in mets)
+    items = sum(m["items"] for m in mets)
     spark.stop()
     return {
         "cores": cores, "wall_sec": round(wall, 2), "n_pages": n_pages,
         "walls": [round(w, 2) for w in walls],
         "urls_processed": urls, "pages_fetched": fetched, "items": items,
-        "waves": res.waves,
+        "waves": waves,
         "urls_per_sec": round(urls / wall, 2),
         "pages_per_sec": round(fetched / wall, 2),
     }

@@ -121,3 +121,23 @@ def test_ann_topk_is_take_ordered_not_global_window(spark):
     w_pos = plan.find("Window")
     t_pos = plan.find("TakeOrderedAndProject")
     assert w_pos == -1 or w_pos < t_pos  # tree prints top-down
+
+
+def test_bloom_probe_broadcasts_small_blobs(spark):
+    """The dense-blob probe side comes out of an applyInPandas (opaque
+    stats), so without the explicit hint Catalyst picks a sort-merge
+    join and re-shuffles every candidate by shard. When the whole
+    filter is broadcast-sized the probe must be a broadcast hash join —
+    a narrow stage over the candidates."""
+    from crawler_spark.operators import dedup as dd
+
+    n_shards, m_bits = 4, 1 << 12
+    keys = spark.range(100).select(F.xxhash64("id").alias("url_hash"))
+    shards = dd.update_shards(dd.empty_shards(spark, n_shards, m_bits), keys, n_shards, m_bits)
+    blobs = dd.densify(shards, m_bits).localCheckpoint()
+    cand = spark.range(50).select(
+        F.xxhash64("id").alias("url_hash"), F.col("id").cast("string").alias("canon")
+    )
+    plan = _plan(dd.probe_shards(cand, blobs, n_shards, m_bits))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
