@@ -55,8 +55,8 @@ BENCH_QUERIES = [
 # (wave 1 = all list pages, wave 2 = every detail page). A 10^10-URL
 # crawl admits millions of URLs per wave — the sandbox analogue is a
 # wave that carries minutes of fetch/parse work, not 5 waves of
-# per-wave scheduling barrier. 16k sections x 20 items = 320k details.
-CRAWL_SECTIONS = int(os.environ.get("BENCH_SECTIONS", "16000"))
+# per-wave scheduling barrier. 12k sections x 20 items = 240k details.
+CRAWL_SECTIONS = int(os.environ.get("BENCH_SECTIONS", "12000"))
 CRAWL_ITEMS = int(os.environ.get("BENCH_ITEMS", "20"))
 CRAWL_PAGES = int(os.environ.get("BENCH_PAGES", "1"))  # pages per section
 CRAWL_WAVE_SECONDS = 400.0  # politeness budget >= hot host's wave load
@@ -178,7 +178,7 @@ def phase_crawl(cores: int) -> dict:
     import gc
 
     walls, metric_runs, waves = [], [], 0
-    for _ in range(3):
+    for _ in range(2):
         t0 = time.time()
         res = crawl(
             spark, pages,
@@ -248,10 +248,11 @@ def phase_parse(cores: int) -> dict:
     out.write.format("noop").mode("overwrite").save()  # 2nd warm: C2 JIT settles
     log(f"parse cores={cores}: corpus {n_pages} pages, warm")
 
-    # min of 3 timed passes: this VM shares cores with other tenants,
+    # min of 2 timed passes per invocation (main() interleaves two
+    # invocations per level): this VM shares cores with other tenants,
     # so single-shot walls are noisy; the min is the least-contended run
     walls = []
-    for _ in range(3):
+    for _ in range(2):
         t0 = time.time()
         out.write.format("noop").mode("overwrite").save()
         walls.append(time.time() - t0)
@@ -272,6 +273,11 @@ def phase_queries(cores: int) -> dict:
     spark = get_spark(app_name="bench-queries", cores=cores,
                       shuffle_partitions=cores)
     qs = entry.queries()
+    # warmup: one JVM-heavy and one Arrow-UDF query so the first timed
+    # rows don't absorb the session's JIT/worker-pool spin-up (the
+    # crawl/parse phases exclude warmup the same way)
+    for warm in ("tpch_q1_pricing_summary", "doc_fingerprint"):
+        qs[warm](spark, SF_DIR).write.format("noop").mode("overwrite").save()
     out: dict[str, float] = {}
     for name in BENCH_QUERIES:
         t0 = time.time()
@@ -322,17 +328,31 @@ def main() -> None:
 
     prep = _run_sub("prep", CPUS)
     log(f"corpus ready: {prep}")
-    log(f"crawl scaling run: local[{LOW}] vs local[{HIGH}]")
+    log(f"crawl scaling run: local[{LOW}] vs local[{HIGH}] (interleaved x2)")
+
+    def _best(a: dict, b: dict) -> dict:
+        # merge two invocations of the same level: keep the better wall,
+        # report all walls (ambient contention drifts over minutes, so
+        # the levels are INTERLEAVED lo,hi,lo,hi and each level's best
+        # is taken across both windows)
+        out = dict(a if a["wall_sec"] <= b["wall_sec"] else b)
+        out["walls"] = a["walls"] + b["walls"]
+        return out
+
     lo = _run_sub("crawl", LOW)
     hi = _run_sub("crawl", HIGH)
+    lo = _best(lo, _run_sub("crawl", LOW))
+    hi = _best(hi, _run_sub("crawl", HIGH))
     eff = (hi["urls_per_sec"] / lo["urls_per_sec"]) / (HIGH / LOW)
     log(f"low: {lo}")
     log(f"high: {hi}")
     log(f"crawl wave-loop scaling efficiency ({LOW}->{HIGH} slots): {eff:.3f}")
 
-    log(f"data-plane parse scaling run: local[{LOW}] vs local[{HIGH}]")
+    log(f"data-plane parse scaling run: local[{LOW}] vs local[{HIGH}] (interleaved x2)")
     plo = _run_sub("parse", LOW)
     phi = _run_sub("parse", HIGH)
+    plo = _best(plo, _run_sub("parse", LOW))
+    phi = _best(phi, _run_sub("parse", HIGH))
     peff = (phi["pages_per_sec"] / plo["pages_per_sec"]) / (HIGH / LOW)
     log(f"parse low: {plo}")
     log(f"parse high: {phi}")
