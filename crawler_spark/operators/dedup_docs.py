@@ -58,10 +58,27 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     return out.select(id_col, *cols)
 
 
+LSH_MAX_BUCKET = 1000  # hot-bucket cap, mirrored engine <-> oracle
+
+
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
-                        bands: int = 4, rows: int = 2) -> DataFrame:
+                        bands: int = 4, rows: int = 2,
+                        max_bucket: int | None = LSH_MAX_BUCKET) -> DataFrame:
     """(id_a < id_b, est_jaccard): pairs sharing ≥1 of `bands` band
-    buckets; est_jaccard = matching minhashes / 8."""
+    buckets; est_jaccard = matching minhashes / 8.
+
+    ``max_bucket`` drops band buckets whose membership exceeds the cap
+    BEFORE the self-join — a degenerate bucket (mass-duplicated
+    boilerplate: m identical docs all land in the same (band, minhash)
+    key) otherwise makes ``a.join(b, "bucket")`` quadratic in that one
+    key: m=10^6 members → 10^12 pairs in a single shuffle partition.
+    Members of a dropped bucket still pair through any of their other
+    ``bands-1`` cold buckets; a bucket shared by more than
+    ``max_bucket`` docs is boilerplate, not near-dup signal — the same
+    argument as ``max_df`` in :func:`ngram_jaccard_pairs`. The SQL
+    oracle mirrors the cap (QUALIFY over the bucket key). Set the
+    ``CRAWLER_SPARK_VERBOSE`` env var to log dropped buckets (the count
+    is an extra action, so it is not computed silently in benches)."""
     band_keys = [
         F.concat_ws("_", F.lit(b), *[F.col(f"mh{b * rows + r}") for r in range(rows)]).alias(f"band{b}")
         for b in range(bands)
@@ -72,6 +89,18 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
         [f"band{b}" for b in range(bands)],
         "band", "bucket",
     )
+    if max_bucket is not None:
+        hot = bucketed.groupBy("bucket").agg(F.count("*").alias("members")).filter(
+            F.col("members") > max_bucket
+        )
+        import os
+        if os.environ.get("CRAWLER_SPARK_VERBOSE"):
+            for r in hot.collect():
+                print(f"[lsh] dropping hot bucket {r['bucket']} "
+                      f"({r['members']} members > cap {max_bucket})", flush=True)
+        # anti-join on the bucket key; the hot side is tiny (degenerate
+        # buckets only) — AQE broadcasts it.
+        bucketed = bucketed.join(hot.select("bucket"), "bucket", "left_anti")
     a = bucketed.select(
         F.col("bucket"),
         F.col(id_col).alias("id_a"),
@@ -150,26 +179,74 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text",
     return docs.select(F.col(id_col), simhash32_fast(F.col(text_col)).alias("simhash"))
 
 
+EMBED_MAX_CELL = 20000  # per-cell pair budget: 2e8 pairs ~ seconds in BLAS
+
+
 def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
                         id_col: str = "vec_id", vec_col: str = "embedding",
-                        cell_col: str = "label") -> DataFrame:
-    """Cosine near-dup pairs within coarse cells (cell-bucketed
-    self-join — the embedding analogue of LSH banding)."""
-    from .similarity import cosine
+                        cell_col: str = "label",
+                        max_cell: int | None = EMBED_MAX_CELL) -> DataFrame:
+    """Cosine near-dup pairs within coarse cells (cell-bucketed — the
+    embedding analogue of LSH banding), scored per cell as ONE numpy
+    GEMM: ``groupBy(cell).applyInPandas`` stacks the cell's matrix once
+    and computes ``mat @ mat.T`` in row-chunks, emitting upper-triangle
+    pairs ≥ threshold. One shuffle (on the cell key), BLAS for every
+    dot product — the interpreted-HOF per-pair formulation this
+    replaces ran Spark's ``zip_with``/``aggregate`` per element and was
+    the slowest row on the bench (10.4s → GEMM).
+
+    The within-cell semantics are inherently all-pairs-in-cell, so cell
+    size bounds the work quadratically: ``max_cell`` drops cells larger
+    than the cap from the pair scan (a cell holding 10% of a 10^9-vector
+    corpus would be 5·10^15 pairs — no plan survives that; the contract
+    is that the coarse quantizer keeps cells bounded, and the cap makes
+    a violation degrade to "skip the degenerate cell", not a wedged
+    stage). Mirrored in the SQL oracle (QUALIFY over the cell key)."""
+    import numpy as np
+    import pandas as pd
 
     e = embeddings.select(
         F.col(cell_col).alias("cell"),
-        F.col(id_col).alias("id"),
+        F.col(id_col).cast("long").alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
-    a = e.select("cell", F.col("id").alias("id_a"), F.col("v").alias("va"))
-    b = e.select("cell", F.col("id").alias("id_b"), F.col("v").alias("vb"))
-    return (
-        a.join(b, "cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a", "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= threshold)
+    if max_cell is not None:
+        counts = e.groupBy("cell").agg(F.count("*").alias("cell_n"))
+        e = e.join(counts, "cell").filter(F.col("cell_n") <= max_cell).drop("cell_n")
+    thr = float(threshold)
+
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "id_a": np.array([], dtype=np.int64),
+            "id_b": np.array([], dtype=np.int64),
+            "cos_sim": np.array([], dtype=np.float64),
+        })
+        n = len(pdf)
+        if n < 2:
+            return empty
+        ids = pdf["id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        mat = np.stack(pdf["v"].to_numpy()[order]).astype(np.float64)
+        nrm = np.sqrt((mat * mat).sum(axis=1))
+        outs = [empty]
+        # row-chunked GEMM bounds the sims buffer to CH x n (a full
+        # n x n block at the max_cell cap would be 3.2 GB)
+        CH = 1024
+        for s0 in range(0, n, CH):
+            s1 = min(s0 + CH, n)
+            block = mat[s0:s1] @ mat.T
+            block /= np.outer(nrm[s0:s1], nrm)
+            r = np.round(block, 6)
+            ii, jj = np.nonzero(r >= thr)
+            gi = ii + s0
+            m = jj > gi  # upper triangle: id_a < id_b, self-pairs out
+            outs.append(pd.DataFrame({
+                "id_a": ids[gi[m]], "id_b": ids[jj[m]],
+                "cos_sim": r[ii[m], jj[m]],
+            }))
+        return pd.concat(outs, ignore_index=True)
+
+    return e.groupBy("cell").applyInPandas(
+        cell_pairs, "id_a long, id_b long, cos_sim double"
     )

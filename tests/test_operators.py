@@ -204,3 +204,68 @@ def test_ngram_jaccard_hot_shingle_cap(spark):
     # and the boilerplate shingles were really dropped: no pair exists
     # purely via the hot shingle (e.g. docs 0 and 2 share only boiler)
     assert (0, 2) not in got
+
+
+def test_lsh_hot_bucket_cap(spark):
+    """A degenerate band bucket (mass-duplicated boilerplate: 50
+    identical docs → all four of their band buckets hold 50 members)
+    must be dropped by the bucket cap BEFORE the self-join — the 1225
+    within-mega pairs never materialize — while cold-bucket pairs are
+    untouched: the capped run over the full set equals the uncapped run
+    over the non-degenerate subset."""
+    from crawler_spark.operators import dedup_docs as DD
+
+    mega = [(i, "identical boilerplate page body repeated across mirror sites")
+            for i in range(50)]
+    normal = [
+        (100 + i, f"unique story {i} about subject {i % 3} with detail {i} and flair {i * 7}")
+        for i in range(12)
+    ]
+    normal += [
+        (200, "shared payload text appearing here exactly twice today"),
+        (201, "shared payload text appearing here exactly twice today"),
+    ]
+    sigs = DD.minhash_signatures(
+        spark.createDataFrame(mega + normal, "doc_id long, text string")
+    )
+    capped = {(r.id_a, r.id_b)
+              for r in DD.lsh_candidate_pairs(sigs, max_bucket=10).collect()}
+    assert not any(a < 50 and b < 50 for a, b in capped)  # mega pairs gone
+    assert (200, 201) in capped                           # cold pair survives
+    ref_sigs = DD.minhash_signatures(
+        spark.createDataFrame(normal, "doc_id long, text string")
+    )
+    ref = {(r.id_a, r.id_b)
+           for r in DD.lsh_candidate_pairs(ref_sigs, max_bucket=None).collect()}
+    assert capped == ref
+
+
+def test_embedding_cell_cap_and_gemm_parity(spark):
+    """The per-cell GEMM pair scan: (a) a cell above max_cell is skipped
+    entirely (the quadratic stage never runs over it); (b) surviving
+    cells' pairs equal a pure-numpy per-pair recomputation."""
+    import numpy as np
+
+    from crawler_spark.operators.dedup_docs import embedding_near_dups
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(8, 16)
+    base[1] = base[0] + 0.01 * rng.randn(16)  # near-dup of vec 0
+    rows = [(i, [float(x) for x in base[i]], 0) for i in range(8)]
+    rows += [(100 + i, [float(x) for x in rng.randn(16)], 1) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+
+    out = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in embedding_near_dups(df, threshold=0.9, max_cell=10).collect()
+    }
+    assert all(a < 100 and b < 100 for a, b in out)  # mega cell skipped
+    exp = {}
+    for a in range(8):
+        for b in range(a + 1, 8):
+            c = float(np.round(
+                np.dot(base[a], base[b])
+                / (np.linalg.norm(base[a]) * np.linalg.norm(base[b])), 6))
+            if c >= 0.9:
+                exp[(a, b)] = c
+    assert (0, 1) in exp and out == exp
