@@ -149,6 +149,7 @@ class CrawlParams:
     bloom_bits_per_shard: int = 1 << 17   # 16 KiB/shard; plenty at sandbox scale
     n_salts: int = 16                      # politeness skew split
     record_order: bool = True              # pop_seq bookkeeping (test scale)
+    acc_collapse_waves: int = 8            # output-accumulator collapse period
 
 
 @dataclass
@@ -249,6 +250,41 @@ def _checkpoint_many(
     return out, extras
 
 
+class _Acc:
+    """Bounded-plan output accumulator (items/errors/pops).
+
+    Appending one lazy branch per wave has two unbounded costs over a
+    long crawl: (a) the final union's plan grows one branch per wave —
+    at max_waves=200 that is a 200-way union whose analysis/planning
+    alone takes seconds; (b) each wave's items/errors are lazy
+    projections of that wave's fat ``fetched`` localCheckpoint (full
+    text of every admitted page), so the accumulated references pin
+    EVERY wave's checkpoint blocks for the entire crawl — memory/disk
+    growth that forced the bench to run a 16g heap with explicit gc.
+
+    Every ``every`` waves the lazy tail collapses into one checkpointed
+    compact chunk and the per-wave references are dropped, letting the
+    ContextCleaner free the fat parents. The final union then has
+    O(waves/every + every) branches, and writes stay linear (a chunk is
+    checkpointed once, never re-collapsed)."""
+
+    def __init__(self, spark: SparkSession, schema: T.StructType, every: int) -> None:
+        self.spark, self.schema, self.every = spark, schema, max(1, every)
+        self.done: list[DataFrame] = []
+        self.tail: list[DataFrame] = []
+
+    def add(self, df: DataFrame) -> None:
+        self.tail.append(df)
+        if len(self.tail) >= self.every:
+            self.done.append(
+                _checkpointed(_union_all(self.spark, self.tail, self.schema))
+            )
+            self.tail = []
+
+    def result(self) -> DataFrame:
+        return _union_all(self.spark, self.done + self.tail, self.schema)
+
+
 def _scratch(df: DataFrame, pool: list) -> DataFrame:
     """Materialize a wave-local intermediate: persisted for reuse within
     the wave, explicitly unpersisted at wave end (its lineage is bounded
@@ -286,13 +322,23 @@ def crawl(
     if resume and store is not None and (ckpt := store.load_checkpoint()):
         wave = int(ckpt["wave"])
         pop_base = int(ckpt.get("pop_base", 0))
+        if "snapshots" not in ckpt:
+            # a checkpoint written before the atomic multi-table snapshot
+            # protocol has per-table manifests only; resuming through it
+            # would silently read EMPTY frontier/seen and "finish" the
+            # crawl with zero items — fail loudly instead.
+            raise ValueError(
+                f"checkpoint at {store.root!r} predates the snapshot "
+                "protocol (no 'snapshots' entry) — cannot resume safely; "
+                "restart the crawl with a fresh store"
+            )
         store.drop_uncommitted("items")
         store.drop_uncommitted("errors")
         store.drop_uncommitted("pops")
         # snapshot tables resolve through the checkpoint (the atomic
         # multi-table commit point) — never through per-table manifests;
         # staged-but-unnamed snapshot dirs from a torn crash are GC'd.
-        snaps: dict = ckpt.get("snapshots", {})
+        snaps: dict = ckpt["snapshots"]
         for tb, cid in snaps.items():
             store.gc_snapshots(tb, cid)
         frontier = store.read_snapshot(spark, "frontier", snaps.get("frontier"), FRONTIER_SCHEMA)
@@ -328,9 +374,10 @@ def crawl(
     if shards is not None:
         shards = _checkpointed(shards)
 
-    items_acc: list[DataFrame] = []
-    errors_acc: list[DataFrame] = []
-    pops_acc: list[DataFrame] = []
+    items_acc = _Acc(spark, ITEMS_SCHEMA, params.acc_collapse_waves)
+    errors_acc = _Acc(spark, ERRORS_SCHEMA, params.acc_collapse_waves)
+    pops_acc = _Acc(spark, POPS_SCHEMA, params.acc_collapse_waves)
+    last_pops: DataFrame | None = None
 
     cfg_cols = F.broadcast(
         config.select(
@@ -387,7 +434,8 @@ def crawl(
             pops = _checkpointed(pops)
             n_admitted = pops.count()
             pop_base += n_admitted
-            pops_acc.append(pops)
+            pops_acc.add(pops)
+            last_pops = pops
         else:
             n_admitted = None
 
@@ -629,8 +677,8 @@ def crawl(
         )
         if shards is not None:
             shards = shards2
-        errors_acc.append(werr)
-        items_acc.append(wave_items)
+        errors_acc.add(werr)
+        items_acc.add(wave_items)
         _tick("outputs_state_ckpt")
 
         metrics.append(
@@ -652,7 +700,7 @@ def crawl(
             store.append(wave_items, "items", cid)
             store.append(werr, "errors", cid)
             if params.record_order:
-                store.append(pops_acc[-1], "pops", cid)
+                store.append(last_pops, "pops", cid)
             store.append(
                 spark.createDataFrame([tuple(metrics[-1].values())], METRICS_SCHEMA),
                 "metrics", cid,
@@ -679,9 +727,9 @@ def crawl(
                 shards = store.read_snapshot(spark, "shards", cid)
 
     pages_slim.unpersist()
-    items = _union_all(spark, items_acc, ITEMS_SCHEMA)
-    errors = _union_all(spark, errors_acc, ERRORS_SCHEMA)
-    pops = _union_all(spark, pops_acc, POPS_SCHEMA) if params.record_order else None
+    items = items_acc.result()
+    errors = errors_acc.result()
+    pops = pops_acc.result() if params.record_order else None
     return CrawlResult(items=items, errors=errors, pops=pops, metrics=metrics,
                        seen=seen, waves=wave)
 

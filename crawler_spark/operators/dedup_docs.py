@@ -179,6 +179,52 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text",
     return docs.select(F.col(id_col), simhash32_fast(F.col(text_col)).alias("simhash"))
 
 
+def dedup_clusters(pairs: DataFrame, vertices: DataFrame,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Connected components over a near-dup pair list → (doc_id,
+    cluster_id), cluster_id = min doc_id in the component; singletons
+    label themselves. This is the step that turns pairwise near-dup
+    evidence (LSH / jaccard / cosine) into keep-one-per-cluster
+    decisions in a training-data pipeline.
+
+    Iterative min-label propagation: labels start as own id; each
+    round every vertex takes the min of its own and its neighbors'
+    labels (one shuffle join on the vertex id + one groupBy min per
+    round); converges in O(component diameter) rounds. Near-dup
+    components are dense and tiny (cliques/stars from the band join),
+    so diameter is small — for adversarial long-path graphs the
+    large-star/small-star variant (same join shape, alternating edge
+    rewrites) drops rounds to O(log n); the monotone-decreasing
+    sum(label) doubles as the convergence test (one scalar agg per
+    round, no extra join). State is checkpointed per round with reset
+    stats, the same iterative-loop hygiene as the crawl driver."""
+    from ..engine.driver import _checkpointed
+
+    verts = vertices.select(F.col(id_col).cast("long").alias("id")).distinct()
+    fwd = pairs.select(F.col("id_a").cast("long").alias("src"),
+                       F.col("id_b").cast("long").alias("dst"))
+    edges = _checkpointed(
+        fwd.unionByName(fwd.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst")))
+    )
+    labels = verts.withColumn("lab", F.col("id"))
+    total = None
+    while True:
+        nbr = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .select(F.col("src").alias("id"), "lab")
+        )
+        labels = _checkpointed(
+            labels.select("id", "lab").unionByName(nbr)
+            .groupBy("id").agg(F.min("lab").alias("lab"))
+        )
+        new_total = labels.agg(F.sum("lab")).collect()[0][0]
+        if new_total == total:  # min-labels are monotone ↓; fixpoint
+            break
+        total = new_total
+    return labels.select(F.col("id").alias(id_col), F.col("lab").alias("cluster_id"))
+
+
 EMBED_MAX_CELL = 20000  # per-cell pair budget: 2e8 pairs ~ seconds in BLAS
 
 

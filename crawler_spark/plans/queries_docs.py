@@ -223,6 +223,55 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.lsh_candidate_pairs(sigs).orderBy("id_a", "id_b")
 
 
+@q(
+    "dedup_lsh_clusters",
+    f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, {_SQL_SHINGLE_HASHES} AS sh FROM documents
+    ), sig AS (
+      SELECT doc_id, {_sql_minhash_select()} FROM sh WHERE len(sh) > 0
+    ), bucketed AS (
+      SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7,
+             '0_' || mh0 || '_' || mh1 AS b0, '1_' || mh2 || '_' || mh3 AS b1,
+             '2_' || mh4 || '_' || mh5 AS b2, '3_' || mh6 || '_' || mh7 AS b3
+      FROM sig
+    ), unp0 AS (
+      SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7, b0 AS bucket FROM bucketed
+      UNION ALL SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7, b1 FROM bucketed
+      UNION ALL SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7, b2 FROM bucketed
+      UNION ALL SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7, b3 FROM bucketed
+    ), unp AS (
+      SELECT * FROM unp0
+      QUALIFY count(*) OVER (PARTITION BY bucket) <= {DD.LSH_MAX_BUCKET}
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             ((CASE WHEN a.mh0=b.mh0 THEN 1 ELSE 0 END) + (CASE WHEN a.mh1=b.mh1 THEN 1 ELSE 0 END)
+            + (CASE WHEN a.mh2=b.mh2 THEN 1 ELSE 0 END) + (CASE WHEN a.mh3=b.mh3 THEN 1 ELSE 0 END)
+            + (CASE WHEN a.mh4=b.mh4 THEN 1 ELSE 0 END) + (CASE WHEN a.mh5=b.mh5 THEN 1 ELSE 0 END)
+            + (CASE WHEN a.mh6=b.mh6 THEN 1 ELSE 0 END) + (CASE WHEN a.mh7=b.mh7 THEN 1 ELSE 0 END)
+             ) / 8.0 AS est
+      FROM unp a JOIN unp b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs WHERE est >= 0.5
+      UNION ALL SELECT id_b, id_a FROM pairs WHERE est >= 0.5
+    ), reach(id, lab) AS (
+      SELECT doc_id, doc_id FROM sig
+      UNION
+      SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.id
+    )
+    SELECT id AS doc_id, min(lab) AS cluster_id
+    FROM reach GROUP BY id ORDER BY doc_id
+    """,
+    "near-dup clustering: connected components (iterative min-label "
+    "propagation) over LSH candidate pairs at est_jaccard ≥ 0.5; "
+    "cluster_id = min doc_id in the component, singletons self-labeled",
+)
+def dedup_lsh_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = DD.minhash_signatures(t(spark, sf_dir, "documents"))
+    pairs = DD.lsh_candidate_pairs(sigs).filter(F.col("est_jaccard") >= 0.5)
+    return DD.dedup_clusters(pairs, sigs).orderBy("doc_id")
+
+
 NGRAM_MAX_DF = 1000  # boilerplate-shingle cap, mirrored engine <-> oracle
 
 
@@ -485,6 +534,47 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.extract_features(media).select(
         "media_id", "kind", "n_bytes", "content_md5"
     ).orderBy("media_id")
+
+
+@q(
+    "multimodal_decode",
+    """
+    WITH g AS (
+      SELECT doc_id AS media_id,
+             8 + doc_id % 5 AS w, 6 + doc_id % 4 AS h
+      FROM documents
+    )
+    SELECT media_id,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           round(list_avg(list_transform(generate_series(0, w*h - 1),
+                 i -> CAST((media_id*7 + (3*i)*13) % 256 AS DOUBLE))), 6) AS mean_r,
+           round(list_avg(list_transform(generate_series(0, w*h - 1),
+                 i -> CAST((media_id*7 + (3*i+1)*13) % 256 AS DOUBLE))), 6) AS mean_g,
+           round(list_avg(list_transform(generate_series(0, w*h - 1),
+                 i -> CAST((media_id*7 + (3*i+2)*13) % 256 AS DOUBLE))), 6) AS mean_b
+    FROM g ORDER BY media_id
+    """,
+    "multimodal REAL decode: deterministic binary-PPM payload per doc → "
+    "pure-numpy pixel decode → per-channel means (mapInPandas end-to-end; "
+    "the oracle recomputes the arithmetic pixel function in SQL)",
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for b in batches:
+            if b.empty:
+                continue
+            rows = []
+            for did in b["doc_id"]:
+                did = int(did)
+                rows.append((did, MM.synthetic_ppm(did, 8 + did % 5, 6 + did % 4)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = d.mapInPandas(gen, "media_id long, payload binary")
+    return MM.pixel_stats(media).orderBy("media_id")
 
 
 # ===========================================================================

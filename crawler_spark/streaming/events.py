@@ -137,17 +137,26 @@ def sessionize_stream(
         if bounds[i + 1] is not None:
             part = part.filter(F.col("_e") <= F.lit(bounds[i + 1]))
         part = part.drop("_e")
-        # zero-padded name: the file source lists lexicographically, so
-        # arrival order == time order (sessionization's ordering contract)
         part.coalesce(1).write.mode("overwrite").parquet(f"{d}/split_{i:03d}")
     files_dir = f"{d}/feed"
     os.makedirs(files_dir, exist_ok=True)
+    # ordering contract: Spark's FileStreamSource orders new files by
+    # MODIFICATION TIME (not path), so arrival order == time order only
+    # if mtimes increase strictly in split order — set them explicitly
+    # (a write-order tie would otherwise reorder micro-batches and
+    # silently corrupt cross-batch sessionization). utime follows the
+    # symlink to the target, which is what the source stats.
+    import time as _time
+
+    base = int(_time.time())
     k = 0
     for i in range(n_splits):
         sd = f"{d}/split_{i:03d}"
         for fn in sorted(os.listdir(sd)):
             if fn.endswith(".parquet"):
-                os.symlink(os.path.join(sd, fn), f"{files_dir}/{i:03d}_{k:03d}.parquet")
+                link = f"{files_dir}/{i:03d}_{k:03d}.parquet"
+                os.symlink(os.path.join(sd, fn), link)
+                os.utime(os.path.join(sd, fn), (base + k, base + k))
                 k += 1
 
     def update(key, pdfs, state):

@@ -269,3 +269,45 @@ def test_embedding_cell_cap_and_gemm_parity(spark):
             if c >= 0.9:
                 exp[(a, b)] = c
     assert (0, 1) in exp and out == exp
+
+
+def test_ppm_decode_roundtrip():
+    """decode_pixels really decodes binary PPM (pure numpy, no codec):
+    synthetic_ppm round-trips bit-exactly, comments in the header are
+    skipped, and codec formats still raise the declared stub error."""
+    import numpy as np
+    import pytest as _pytest
+
+    from crawler_spark.operators.multimodal import (
+        decode_pixels, synthetic_png, synthetic_ppm,
+    )
+
+    w, h, mid = 9, 7, 42
+    payload = synthetic_ppm(mid, w, h)
+    got_w, got_h, px = decode_pixels(payload)
+    assert (got_w, got_h) == (w, h) and px.shape == (h, w, 3)
+    j = np.arange(w * h * 3, dtype=np.int64)
+    assert np.array_equal(px.reshape(-1), ((mid * 7 + j * 13) % 256).astype(np.uint8))
+
+    commented = b"P6\n# a comment\n" + f"{w} {h}\n# more\n255\n".encode() \
+        + payload.split(b"255\n", 1)[1]
+    cw, ch, cpx = decode_pixels(commented)
+    assert (cw, ch) == (w, h) and np.array_equal(cpx, px)
+
+    with _pytest.raises(NotImplementedError):
+        decode_pixels(synthetic_png(1, 4, 4))  # codec formats stay stubbed
+
+
+def test_dedup_clusters_components(spark):
+    """Min-label propagation: a 5-path (diameter 4 → multiple rounds),
+    a separate pair, and an isolated vertex all label correctly."""
+    from crawler_spark.operators.dedup_docs import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "id_a long, id_b long"
+    )
+    verts = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 4, 5, 10, 11, 20)], "doc_id long"
+    )
+    out = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs, verts).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20}

@@ -141,3 +141,54 @@ def test_bloom_probe_broadcasts_small_blobs(spark):
     plan = _plan(dd.probe_shards(cand, blobs, n_shards, m_bits))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_checkpointed_private_api_pinned(spark):
+    """_checkpointed (engine/driver.py) reaches into PySpark internals
+    (``_jdf``, ``internalCreateDataFrame``) to rebuild a checkpointed
+    DataFrame with FRESH default plan statistics — localCheckpoint alone
+    inherits the parent plan's sizeInBytes, which compounds
+    geometrically across crawl waves. Pin both assumptions so a PySpark
+    upgrade fails HERE, not three hours into a crawl."""
+    from crawler_spark.engine.driver import _checkpointed
+
+    # the private entry point the rebuild depends on
+    assert hasattr(spark._jsparkSession, "internalCreateDataFrame")
+
+    big = spark.range(0, 2000).crossJoin(spark.range(0, 50))
+    inherited = int(
+        big.localCheckpoint(eager=True)
+        ._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    reb = _checkpointed(big)
+    rebuilt = int(
+        reb._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    default = int(
+        spark._jsparkSession.sessionState().conf().defaultSizeInBytes()
+    )
+    # data and schema survive the rebuild
+    assert reb.count() == 2000 * 50
+    assert reb.schema == big.schema
+    # the rebuilt plan carries the session-default leaf statistic, NOT
+    # the inherited (product-of-children) one
+    assert rebuilt == default
+    assert inherited != default  # the pathology _checkpointed exists for
+
+
+def test_acc_collapse_bounds_plan_growth(spark):
+    """A 200-wave crawl accumulates one output branch per wave; the
+    _Acc collapse must keep the FINAL union's leaf count O(waves/every),
+    so planning cost stays flat over arbitrarily long crawls."""
+    from crawler_spark.engine.driver import _Acc
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("x", T.LongType(), False)])
+    acc = _Acc(spark, schema, every=8)
+    for i in range(200):
+        acc.add(spark.createDataFrame([(i,)], schema))
+    out = acc.result()
+    assert out.count() == 200
+    leaves = out._jdf.queryExecution().analyzed().toString().count("LogicalRDD")
+    # 200/8 = 25 collapsed chunks + <8 tail branches, not 200
+    assert leaves <= 33

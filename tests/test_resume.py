@@ -121,3 +121,17 @@ def test_torn_multi_table_snapshot_swap(spark, small_pages, tmp_path_factory):
         d for d in os.listdir(s_torn.root + "/frontier")
         if os.path.isdir(s_torn.root + "/frontier/" + d)
     ) == [final]
+
+
+def test_resume_rejects_legacy_checkpoint(spark, tmp_path):
+    """A checkpoint written before the atomic multi-table snapshot
+    protocol (no 'snapshots' entry) must fail LOUDLY on resume —
+    silently reading an empty frontier/seen would end the crawl
+    immediately with zero items and no error."""
+    store = LakeStore(str(tmp_path / "legacy"))
+    store.save_checkpoint({"wave": 3, "pop_base": 0})  # legacy shape
+    pages = spark.createDataFrame(
+        [("http://h1-test.local/x", "<html></html>")], "url string, html string"
+    )
+    with pytest.raises(ValueError, match="snapshots"):
+        crawl(spark, pages, CrawlParams(max_waves=1), store=store, resume=True)
