@@ -303,7 +303,13 @@ def crawl(
     store: LakeStore | None = None,
     robots_rules: DataFrame | None = None,
     resume: bool = False,
+    pages_prepartitioned: bool = False,
 ) -> CrawlResult:
+    """``pages_prepartitioned=True`` declares that the caller already
+    hash-partitioned (and persisted/bucketed) ``pages`` on ``url`` —
+    the production layout: the corpus is a bucketed Iceberg table that
+    exists BEFORE any crawl starts, so re-bucketing it is not part of a
+    crawl's work. When False (default) the layout is built here once."""
     params = params or CrawlParams()
     config = crawl_config_df(spark, sites)
     # column pruning (never drag text/lang) + pre-hash-partition on the
@@ -311,9 +317,12 @@ def crawl(
     # only the admitted side (30k rows), not the corpus (GBs). On a real
     # cluster this is the bucketed-pages-table layout.
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    pages_slim = (
-        pages.select("url", "html").repartition(n_part, "url").persist()
-    )
+    if pages_prepartitioned:
+        pages_slim = pages.select("url", "html")
+    else:
+        pages_slim = (
+            pages.select("url", "html").repartition(n_part, "url").persist()
+        )
 
     # ---- state init / resume ---------------------------------------------
     wave = 0
@@ -632,51 +641,63 @@ def crawl(
             "province", "city", "county", "site_name", "text",
             F.lit(wave).alias("wave"),
         )
-        # ---- outputs + state transition: ONE concurrent phase ------------
-        # new_frontier stays a lazily-persisted scratch: the six jobs
-        # below share its cache (first consumer materializes it), so the
-        # state unions don't recompute the probe work, and outputs and
-        # state checkpoint TOGETHER — two serial barriers collapsed into
-        # one whose wall is max(job), not sum(phase). Metric counts
-        # piggyback on the same threads.
+        # ---- outputs + state transition ----------------------------------
+        # new_frontier is materialized FIRST (one serial checkpoint):
+        # every state branch (seen2, shards2, frontier2) consumes it,
+        # and launching them concurrently against an unmaterialized
+        # persist made each concurrent job recompute the bloom-probe +
+        # struct-min dedup work (cache-miss race — measured 16.7s for
+        # this phase at 2 slots, ~halved by this ordering). The
+        # remaining checkpoints then run as ONE concurrent phase whose
+        # wall is max(job), not sum(phase), with metric counts
+        # piggybacked on the same threads.
         #
         # coalesce bounds partition-count growth across waves (a union
         # per wave otherwise accretes partitions without bound — by wave
         # 50 every seen-derived stage schedules hundreds of near-empty
         # tasks); coalesce is a narrow merge, no shuffle.
-        new_frontier = _scratch(new_frontier, scratch_pool)
-        seen2 = seen.unionByName(
-            new_frontier.select("canon", "url_hash")
-        ).coalesce(n_part)
-        shards2 = (
-            dd.update_shards(
-                shards, new_frontier.select("url_hash"),
-                params.n_shards, params.bloom_bits_per_shard,
+        new_frontier = _checkpointed(new_frontier)
+        n_new = new_frontier.count()  # cheap: checkpointed RDD
+        if n_new == 0:
+            # nothing new this wave: seen/shards are UNCHANGED — skip
+            # their no-op re-checkpoints (a frontier-exhausting final
+            # wave pays only the deferred coalesce)
+            seen2, shards2 = None, None
+            frontier2 = deferred.coalesce(n_part)
+        else:
+            seen2 = seen.unionByName(
+                new_frontier.select("canon", "url_hash")
+            ).coalesce(n_part)
+            shards2 = (
+                dd.update_shards(
+                    shards, new_frontier.select("url_hash"),
+                    params.n_shards, params.bloom_bits_per_shard,
+                )
+                if shards is not None else None
             )
-            if shards is not None else None
-        )
-        frontier2 = deferred.unionByName(new_frontier).coalesce(n_part)
+            frontier2 = deferred.unionByName(new_frontier).coalesce(n_part)
         # werr and wave_items are one-hop projections of the fetched
         # checkpoint — re-materializing them would write every item's
         # text to the block store a second time, so ckpt=False: they are
         # accumulated lazily and only their counts run here.
         (
-            (werr, wave_items, new_frontier, seen, shards2, frontier),
-            (n_miss, n_items, n_new, _, _, pending),
+            (werr, wave_items, seen_ck, shards_ck, frontier),
+            (n_miss, n_items, _, _, pending),
         ) = _checkpoint_many(
-            [werr, wave_items, new_frontier, seen2, shards2, frontier2],
+            [werr, wave_items, seen2, shards2, frontier2],
             posts=[
                 lambda d: d.filter(F.col("status") == "miss").count(),
-                lambda d: d.count(),
                 lambda d: d.count(),
                 None,
                 None,
                 lambda d: d.count(),
             ],
-            ckpt=[False, False, True, True, True, True],
+            ckpt=[False, False, True, True, True],
         )
-        if shards is not None:
-            shards = shards2
+        if seen_ck is not None:
+            seen = seen_ck
+        if shards is not None and shards_ck is not None:
+            shards = shards_ck
         errors_acc.add(werr)
         items_acc.add(wave_items)
         _tick("outputs_state_ckpt")
@@ -726,7 +747,8 @@ def crawl(
             if shards is not None:
                 shards = store.read_snapshot(spark, "shards", cid)
 
-    pages_slim.unpersist()
+    if not pages_prepartitioned:
+        pages_slim.unpersist()
     items = items_acc.result()
     errors = errors_acc.result()
     pops = pops_acc.result() if params.record_order else None

@@ -207,7 +207,10 @@ def dedup_clusters(pairs: DataFrame, vertices: DataFrame,
         fwd.unionByName(fwd.select(F.col("dst").alias("src"),
                                    F.col("src").alias("dst")))
     )
-    labels = verts.withColumn("lab", F.col("id"))
+    # checkpoint the seed labels: the vertex set's lineage (often a
+    # whole signature pipeline) must be computed once, not once per
+    # consumer of the first propagation round
+    labels = _checkpointed(verts.withColumn("lab", F.col("id")))
     total = None
     while True:
         nbr = (

@@ -267,7 +267,11 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cluster_id = min doc_id in the component, singletons self-labeled",
 )
 def dedup_lsh_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sigs = DD.minhash_signatures(t(spark, sf_dir, "documents"))
+    from ..engine.driver import _checkpointed
+
+    # signatures feed BOTH the pair join and the vertex set — compute
+    # the Arrow minhash pass once, not once per consumer
+    sigs = _checkpointed(DD.minhash_signatures(t(spark, sf_dir, "documents")))
     pairs = DD.lsh_candidate_pairs(sigs).filter(F.col("est_jaccard") >= 0.5)
     return DD.dedup_clusters(pairs, sigs).orderBy("doc_id")
 
