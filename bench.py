@@ -74,8 +74,8 @@ CRAWL_PAGES = int(os.environ.get("BENCH_PAGES", "1"))  # pages per section
 # UDF measures ≥1.0), while the per-wave orchestration jobs are
 # latency-floored at sandbox frontier sizes — fat pages put the
 # measurement in the work-dominated regime a 10^10-URL wave lives in.
-CRAWL_CHUNKS_MIN = int(os.environ.get("BENCH_CHUNKS_MIN", "48"))
-CRAWL_CHUNKS_SPAN = int(os.environ.get("BENCH_CHUNKS_SPAN", "32"))
+CRAWL_CHUNKS_MIN = int(os.environ.get("BENCH_CHUNKS_MIN", "96"))
+CRAWL_CHUNKS_SPAN = int(os.environ.get("BENCH_CHUNKS_SPAN", "64"))
 CRAWL_WAVE_SECONDS = 400.0  # politeness budget >= hot host's wave load
 
 
