@@ -179,25 +179,11 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text",
     return docs.select(F.col(id_col), simhash32_fast(F.col(text_col)).alias("simhash"))
 
 
-def dedup_clusters(pairs: DataFrame, vertices: DataFrame,
-                   id_col: str = "doc_id") -> DataFrame:
-    """Connected components over a near-dup pair list → (doc_id,
-    cluster_id), cluster_id = min doc_id in the component; singletons
-    label themselves. This is the step that turns pairwise near-dup
-    evidence (LSH / jaccard / cosine) into keep-one-per-cluster
-    decisions in a training-data pipeline.
-
-    Iterative min-label propagation: labels start as own id; each
-    round every vertex takes the min of its own and its neighbors'
-    labels (one shuffle join on the vertex id + one groupBy min per
-    round); converges in O(component diameter) rounds. Near-dup
-    components are dense and tiny (cliques/stars from the band join),
-    so diameter is small — for adversarial long-path graphs the
-    large-star/small-star variant (same join shape, alternating edge
-    rewrites) drops rounds to O(log n); the monotone-decreasing
-    sum(label) doubles as the convergence test (one scalar agg per
-    round, no extra join). State is checkpointed per round with reset
-    stats, the same iterative-loop hygiene as the crawl driver."""
+def _cc_min_labels(pairs: DataFrame, vertices: DataFrame,
+                   id_col: str = "doc_id") -> tuple[DataFrame, int]:
+    """Min-label connected components with pointer doubling; returns
+    (labels DataFrame with columns id/lab, rounds taken). See
+    :func:`dedup_clusters` for the public contract."""
     from ..engine.driver import _checkpointed
 
     verts = vertices.select(F.col(id_col).cast("long").alias("id")).distinct()
@@ -211,20 +197,71 @@ def dedup_clusters(pairs: DataFrame, vertices: DataFrame,
     # whole signature pipeline) must be computed once, not once per
     # consumer of the first propagation round
     labels = _checkpointed(verts.withColumn("lab", F.col("id")))
-    total = None
+    rounds = 0
     while True:
+        rounds += 1
+        # (a) neighbor propagation: min over adjacent labels
         nbr = (
             edges.join(labels, edges["dst"] == labels["id"])
             .select(F.col("src").alias("id"), "lab")
         )
-        labels = _checkpointed(
-            labels.select("id", "lab").unionByName(nbr)
+        # (b) pointer doubling: lab <- label-of-label. Propagation alone
+        # is O(component diameter) rounds — an adversarial chain of
+        # near-dups (template-mutation corpora) would iterate n times.
+        # Shortcutting through the label vertex halves the remaining
+        # pointer distance every round, so a length-n path converges in
+        # O(log n) rounds (classic pointer-jumping; same effect as the
+        # large-star/small-star alternation, one join cheaper).
+        lol = (
+            labels.alias("a")
+            .join(
+                labels.select(F.col("id").alias("lab"),
+                              F.col("lab").alias("lab2")).alias("b"),
+                "lab", "left",
+            )
+            .select("id", F.coalesce("lab2", "lab").alias("lab"))
+        )
+        new_labels = _checkpointed(
+            labels.select("id", "lab").unionByName(nbr).unionByName(lol)
             .groupBy("id").agg(F.min("lab").alias("lab"))
         )
-        new_total = labels.agg(F.sum("lab")).collect()[0][0]
-        if new_total == total:  # min-labels are monotone ↓; fixpoint
+        # exact, overflow-free fixpoint test: count labels that changed
+        # this round (labels are monotone non-increasing, so `<` is
+        # equivalent to `!=`). A sum(label) comparison could wrap
+        # silently at web scale — 64-bit hash ids × 10^9 vertices
+        # overflows long sum, and two distinct states could compare
+        # equal and terminate propagation early.
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+            .filter(F.col("n.lab") < F.col("o.lab"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
             break
-        total = new_total
+    return labels, rounds
+
+
+def dedup_clusters(pairs: DataFrame, vertices: DataFrame,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Connected components over a near-dup pair list → (doc_id,
+    cluster_id), cluster_id = min doc_id in the component; singletons
+    label themselves. This is the step that turns pairwise near-dup
+    evidence (LSH / jaccard / cosine) into keep-one-per-cluster
+    decisions in a training-data pipeline.
+
+    Iterative min-label propagation WITH pointer doubling: labels start
+    as own id; each round every vertex takes the min of (its own label,
+    its neighbors' labels, its label's label). The label-of-label
+    shortcut makes convergence O(log n) rounds even on adversarial
+    long-path graphs (round-count-tested on a planted 1000-node path),
+    while dense near-dup cliques still finish in 2-3 rounds. Per round:
+    two shuffle joins + one groupBy-min + one exact changed-label count
+    (overflow-free — NOT a sum(label) check, which can wrap at web
+    scale). State is checkpointed per round with reset stats, the same
+    iterative-loop hygiene as the crawl driver."""
+    labels, _ = _cc_min_labels(pairs, vertices, id_col)
     return labels.select(F.col("id").alias(id_col), F.col("lab").alias("cluster_id"))
 
 

@@ -69,23 +69,32 @@ def decode_pixels(payload: bytes):
     if payload[:2] == b"P6":
         # whitespace-separated header: magic, width, height, maxval;
         # '#' comments allowed between tokens; ONE whitespace byte then
-        # the raw RGB data
+        # the raw RGB data. Every scan is bounded: running off the end
+        # of the payload (truncated/malformed header) raises ValueError
+        # so a bad row degrades per-row, never wedges the task.
+        hdr_end = min(len(payload), 4096)  # sane header-length bound
         pos, tokens = 2, []
         while len(tokens) < 3:
-            while payload[pos:pos + 1].isspace():
+            while pos < hdr_end and payload[pos:pos + 1].isspace():
                 pos += 1
+            if pos >= hdr_end:
+                raise ValueError("truncated PPM header")
             if payload[pos:pos + 1] == b"#":
-                while payload[pos:pos + 1] not in (b"\n", b""):
+                while pos < hdr_end and payload[pos:pos + 1] != b"\n":
                     pos += 1
                 continue
             start = pos
-            while not payload[pos:pos + 1].isspace():
+            while pos < hdr_end and not payload[pos:pos + 1].isspace():
                 pos += 1
-            tokens.append(int(payload[start:pos]))
+            if pos == start or pos >= hdr_end:
+                raise ValueError("truncated PPM header")
+            tokens.append(int(payload[start:pos]))  # ValueError on garbage
         pos += 1  # the single whitespace after maxval
         w, h, maxval = tokens
         if maxval != 255:
             raise NotImplementedError("only 8-bit PPM supported")
+        if w <= 0 or h <= 0 or len(payload) - pos < w * h * 3:
+            raise ValueError("PPM payload shorter than header promises")
         px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
         return w, h, px.reshape(h, w, 3)
     raise NotImplementedError(
@@ -175,7 +184,10 @@ def pixel_stats(media: DataFrame) -> DataFrame:
             for mid, payload in zip(b["media_id"], b["payload"]):
                 try:
                     w, h, px = decode_pixels(bytes(payload))
-                except NotImplementedError:
+                except (NotImplementedError, ValueError):
+                    # absent codec OR malformed/truncated payload: skip
+                    # the row — a mixed corpus degrades per-row, not
+                    # per-job
                     continue
                 m = px.reshape(-1, 3).mean(axis=0, dtype=np.float64)
                 rows.append((int(mid), w, h,

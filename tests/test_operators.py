@@ -311,3 +311,49 @@ def test_dedup_clusters_components(spark):
     )
     out = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs, verts).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_ppm_decode_malformed_rows_degrade_per_row(spark):
+    """Malformed payloads must raise (bounded) ValueError, never hang,
+    and pixel_stats must skip them per-row, not fail the job."""
+    import pytest as _pytest
+
+    from crawler_spark.operators.multimodal import (
+        decode_pixels, pixel_stats, synthetic_ppm,
+    )
+
+    bad = [
+        b"P6",                       # header cut at the magic
+        b"P6\n9 7",                  # cut mid-token, no trailing space
+        b"P6\n# only a comment",     # comment runs to EOF
+        b"P6\nx y\n255\n" + b"\x00" * 32,  # garbage tokens
+        b"P6\n9 7\n255\n" + b"\x00" * 10,  # body shorter than w*h*3
+        b"P6\n-3 7\n255\n" + b"\x00" * 64,  # non-positive dims
+    ]
+    for payload in bad:
+        with _pytest.raises(ValueError):
+            decode_pixels(payload)
+
+    good = synthetic_ppm(7, 4, 3)
+    media = spark.createDataFrame(
+        [(1, good), (2, bad[0]), (3, bad[3]), (4, bad[4])],
+        "media_id long, payload binary",
+    )
+    out = pixel_stats(media).collect()
+    assert [r.media_id for r in out] == [1]  # one good row survives
+
+
+def test_dedup_clusters_path_graph_log_rounds(spark):
+    """Pointer doubling: a planted 1000-node path converges in O(log n)
+    rounds (~12), not O(n) — the adversarial template-mutation shape."""
+    from crawler_spark.operators.dedup_docs import _cc_min_labels
+
+    n = 1000
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    verts = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    labels, rounds = _cc_min_labels(pairs, verts)
+    assert rounds <= 20, f"path graph took {rounds} rounds"
+    got = labels.collect()
+    assert len(got) == n and all(r.lab == 0 for r in got)
