@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as X
 from ..canonical import canonicalize_url_col, host_of
+from ..operators.robots import pattern_regex_py
 
 
 @dataclass(frozen=True)
@@ -351,16 +352,24 @@ _ROBOTS_RULES = [
     # (host, path_prefix, allow, crawl_delay) — exercises: host-level
     # delay, deny-all, longest-prefix re-allow, duplicate '/' rules
     # (delay aggregation), equal-length allow/deny tie (deny wins),
-    # rule-less hosts (default allow).
+    # rule-less hosts (default allow), and the RFC 9309 wildcards:
+    # mid-pattern '*' (deny + a longer re-allow through a '*' rule)
+    # and the '$' end anchor (exact-path deny that must NOT match a
+    # longer path sharing the prefix).
     ("site0.local", "/", True, 1.5),
     ("site0.local", "/sec1", False, None),
     ("site0.local", "/sec1/doc", True, None),
     ("site1.local", "/", False, 2.0),
     ("site2.local", "/sec3", False, None),
+    ("site2.local", "/sec3/doc/4*", True, None),
     ("site3.local", "/", True, 1.0),
     ("site3.local", "/", True, 3.0),
     ("site4.local", "/sec5", True, None),
     ("site4.local", "/sec5", False, None),
+    ("site5.local", "/", True, 0.5),
+    ("site5.local", "/sec*/doc/1", False, None),
+    ("site6.local", "/sec7/doc/20$", False, None),
+    ("site6.local", "/*/doc/*7$", False, None),
 ]
 
 
@@ -372,15 +381,20 @@ _ROBOTS_RULES = [
              'site' || (doc_id % 7) || '.local' AS host,
              '/sec' || (doc_id % 13) || '/doc/' || doc_id AS path
       FROM documents
-    ), r(host, path_prefix, allow, crawl_delay) AS (
+    ), r(host, path_prefix, rx, wild, allow, crawl_delay) AS (
       VALUES {", ".join(
-        "('%s', '%s', %s, %s)" % (
-            h, p, str(a).lower(),
+        "('%s', '%s', '%s', %s, %s, %s)" % (
+            h, p.replace("'", "''"),
+            pattern_regex_py(p)[0].replace("'", "''"),
+            str(pattern_regex_py(p)[1]).lower(),
+            str(a).lower(),
             "CAST(NULL AS DOUBLE)" if d is None else f"CAST({d} AS DOUBLE)")
         for h, p, a, d in _ROBOTS_RULES)}
     ), m AS (
       SELECT u.doc_id, u.host, r.path_prefix, r.allow
-      FROM u LEFT JOIN r ON u.host = r.host AND starts_with(u.path, r.path_prefix)
+      FROM u LEFT JOIN r ON u.host = r.host AND
+        CASE WHEN r.wild THEN regexp_matches(u.path, r.rx)
+             ELSE starts_with(u.path, r.path_prefix) END
     ), best AS (
       SELECT doc_id, host, allow FROM m
       QUALIFY row_number() OVER (

@@ -357,3 +357,47 @@ def test_dedup_clusters_path_graph_log_rounds(spark):
     assert rounds <= 20, f"path graph took {rounds} rounds"
     got = labels.collect()
     assert len(got) == n and all(r.lab == 0 for r in got)
+
+
+def test_robots_wildcard_end_anchor(spark):
+    """RFC 9309 wildcards: '*' spans any bytes, trailing '$' anchors the
+    path end; engine (Catalyst regex) and python mirror must agree."""
+    from crawler_spark.operators.robots import (
+        ROBOTS_SCHEMA, apply_robots, pattern_matches_py, robots_allowed_py,
+    )
+
+    rules = [
+        {"host": "w.local", "path_prefix": "/", "allow": True, "crawl_delay": None},
+        {"host": "w.local", "path_prefix": "/a/*/c", "allow": False, "crawl_delay": None},
+        {"host": "w.local", "path_prefix": "/exact$", "allow": False, "crawl_delay": None},
+        {"host": "w.local", "path_prefix": "/p/*.pdf$", "allow": False, "crawl_delay": None},
+        {"host": "w.local", "path_prefix": "/a/b/c/deep", "allow": True, "crawl_delay": None},
+    ]
+    cases = {
+        "https://w.local/a/x/c/y": False,     # '*' mid-pattern deny
+        "https://w.local/a/c": True,          # '*' must span >= 0 chars but /a/c has no middle seg... matches? '^/a/.*/c' vs '/a/c' -> no
+        "https://w.local/exact": False,       # '$' exact hit
+        "https://w.local/exactly": True,      # '$' must NOT match longer path
+        "https://w.local/p/x/file.pdf": False,  # '*' + '$' suffix match
+        "https://w.local/p/x/file.pdfx": True,  # anchored: trailing junk escapes
+        "https://w.local/a/b/c/deep/doc": True,  # longer literal allow beats shorter wild deny
+        "https://w.local/other": True,
+    }
+    for url, want in cases.items():
+        assert robots_allowed_py(rules, "w.local", url) is want, url
+
+    rdf = spark.createDataFrame(
+        [(r["host"], r["path_prefix"], r["allow"], r["crawl_delay"]) for r in rules],
+        ROBOTS_SCHEMA,
+    )
+    fr = spark.createDataFrame(
+        [(u, "w.local") for u in cases], "url string, host string"
+    )
+    got = {r.url: r.robots_allowed for r in apply_robots(fr, rdf).collect()}
+    assert got == cases
+
+    # python-mirror micro-parity for the raw pattern matcher
+    assert pattern_matches_py("/a/*/c", "/a/x/c")
+    assert not pattern_matches_py("/a/*/c", "/a/x/d")
+    assert pattern_matches_py("/x$", "/x") and not pattern_matches_py("/x$", "/xy")
+    assert pattern_matches_py("/*", "/anything")
