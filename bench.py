@@ -1,18 +1,27 @@
 #!/usr/bin/env python
 """Benchmark harness — prints ONE JSON line to stdout (progress → stderr).
 
-Two measurements:
+Measurements:
 
-1. **Crawl throughput** — the full wave loop (fetch-join, Arrow parse,
-   bloom dedup, politeness, pagination) over a generated ~300k-URL
-   virtual web with one host holding 80% of the URLs, run at TWO
-   parallelism levels (local[N_LOW] and local[N_HIGH]) on the SAME
-   input — the sandbox stand-in for the north_rule's N vs 4N executor
-   scaling-efficiency criterion. Each level runs in its own
-   subprocess (own JVM) so the master setting is honest.
-2. **Headline queries** at $SPARK_GRAFT_SF_DIR (default sf0.1) on
-   local[$SPARK_GRAFT_CPUS]; each forced through a noop sink so column
-   pruning can't skip the measured work.
+1. **Crawl throughput scaling** — the full wave loop (fetch-join, Arrow
+   parse, bloom dedup, politeness, pagination) over a generated
+   ~300k-URL virtual web with one host holding 80% of the URLs, run at
+   TWO scaling pairs — local[1] vs local[4] AND local[2] vs local[8] —
+   on the SAME input: the sandbox stand-in for the north_rule's N vs 4N
+   executor criterion, reported in BOTH the work-dominated and the
+   barrier-visible regime. Each level runs in its own subprocess (own
+   JVM) so the master setting is honest. The per-step wall breakdown
+   (CrawlResult.step_walls) is recorded so the fixed-orchestration
+   barrier share is MEASURED, not guessed.
+2. **Data-plane throughput** at the same pairs (single-pass enrich).
+3. **Durable-state tax** — one crawl run with a LakeStore attached at
+   the same corpus/level, reporting the per-wave commit overhead.
+4. **Politeness salt skew** — the admission window on the 80%-one-host
+   frontier with n_salts=1 vs 16.
+5. **Headline queries** at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+   local[$SPARK_GRAFT_CPUS]; min-of-3 timed runs per query (single-shot
+   walls on this shared box carry ±2x ambient noise), each forced
+   through a noop sink so column pruning can't skip the measured work.
 
 Efficiency = (throughput_high / throughput_low) / (N_high / N_low).
 Results also land in BENCH.md.
@@ -28,21 +37,19 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-# scaling pair: N vs 4N task slots (bound to 2N / 8N cpus — with Arrow
+# scaling pairs: N vs 4N task slots (bound to 2N / 8N cpus — with Arrow
 # pandas UDFs each slot drives a JVM thread AND a Python worker, so a
 # slot needs ~2 cpus; local[32] would need 64 cpus on this 32-cpu box
-# and measures oversubscription, not scaling). The pair is local[1] vs
-# local[4] ("N and 4N cores" per the criterion): the loop's per-wave
-# orchestration (a dozen small state jobs per wave, ~15-20s/rep total)
-# is CONSTANT in absolute terms at sandbox frontier sizes — at a real
-# 10^10-URL scale each wave carries hours of data-plane work and those
-# barriers vanish into the noise, so the representative measurement is
-# the pair whose walls are long enough that the barrier fraction
-# matches that regime, not a pair short enough to be barrier-bound.
-# (Measured same-engine same-corpus: 2->8 slots reads 0.68-0.70 purely
-# because a 52s wall is ~30% barrier; BASELINE.md carries both pairs.)
-LOW = max(1, CPUS // 32)
-HIGH = 4 * LOW
+# and measures oversubscription, not scaling). BOTH pairs are run and
+# recorded: 1→4 is the work-dominated regime a 10^10-URL wave lives in
+# (hours of data-plane work per wave dwarf any constant barrier); 2→8
+# has shorter walls, so the fixed per-wave orchestration is visible —
+# reporting it alongside keeps the barrier-bound regime honest
+# (round-3 advice).
+PAIRS = [
+    tuple(int(x) for x in p.split("-"))
+    for p in os.environ.get("BENCH_PAIRS", "1-4,2-8").split(",")
+]
 
 BENCH_QUERIES = [
     "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
@@ -62,10 +69,7 @@ BENCH_QUERIES = [
 # (wave 1 = all list pages, wave 2 = every detail page). A 10^10-URL
 # crawl admits millions of URLs per wave — the sandbox analogue is a
 # wave that carries minutes of fetch/parse work, not 5 waves of
-# per-wave scheduling barrier. 16k sections x 20 items = 320k details:
-# big enough that the data-plane work dominates the fixed per-wave
-# orchestration at BOTH levels (at 12k sections the high level's wall
-# was short enough that the ~5s/wave fixed cost ate the efficiency).
+# per-wave scheduling barrier. 16k sections x 20 items = 320k details.
 CRAWL_SECTIONS = int(os.environ.get("BENCH_SECTIONS", "16000"))
 CRAWL_ITEMS = int(os.environ.get("BENCH_ITEMS", "20"))
 CRAWL_PAGES = int(os.environ.get("BENCH_PAGES", "1"))  # pages per section
@@ -77,6 +81,10 @@ CRAWL_PAGES = int(os.environ.get("BENCH_PAGES", "1"))  # pages per section
 CRAWL_CHUNKS_MIN = int(os.environ.get("BENCH_CHUNKS_MIN", "96"))
 CRAWL_CHUNKS_SPAN = int(os.environ.get("BENCH_CHUNKS_SPAN", "64"))
 CRAWL_WAVE_SECONDS = 400.0  # politeness budget >= hot host's wave load
+# SAME rep count per level (round-3 advice: asymmetric counts give one
+# level more shots at an uncontended window and bias the ratio)
+CRAWL_REPS = int(os.environ.get("BENCH_CRAWL_REPS", "2"))
+QUERY_REPS = int(os.environ.get("BENCH_QUERY_REPS", "3"))
 
 
 def log(msg: str) -> None:
@@ -105,13 +113,8 @@ def _corpus_path() -> str:
 
 def _bench_corpus(spark, wg, persist: bool = True):
     """Read the bench corpus (generated once by the prep phase at full
-    parallelism — a 2-core measurement subprocess must not pay the
-    generation cost).
-
-    ``persist=False`` for the crawl phase: crawl() builds its own
-    url-partitioned ``pages_slim`` cache, and double-caching the html
-    (~2.6 GB) pushes the block store into disk spill — a cost that does
-    not scale with cores and poisons the scaling measurement."""
+    parallelism — a low-slot measurement subprocess must not pay the
+    generation cost)."""
     sites, spec = _bench_sites_spec(wg)
     path = _corpus_path()
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
@@ -142,10 +145,8 @@ def phase_prep(cores: int) -> dict:
 
 # ---------------------------------------------------------------- subphases
 
-def phase_crawl(cores: int) -> dict:
+def _crawl_session(cores: int, app: str):
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from crawler_spark.corpus import webgen as wg
-    from crawler_spark.engine.driver import CrawlParams, crawl
     from crawler_spark.session import get_spark
 
     # AQE off for the wave loop: its per-wave shuffles are small and
@@ -153,8 +154,8 @@ def phase_crawl(cores: int) -> dict:
     # per-wave scheduling latency (measured: ~40% of wave wall at
     # sandbox scale). shuffle_partitions = 3x slots for straggler-free
     # granularity.
-    spark = get_spark(
-        app_name=f"bench-crawl-{cores}", cores=cores,
+    return get_spark(
+        app_name=app, cores=cores,
         shuffle_partitions=cores * 3,
         extra_conf={
             "spark.sql.adaptive.enabled": "false",
@@ -167,12 +168,18 @@ def phase_crawl(cores: int) -> dict:
             "spark.speculation.quantile": "0.75",
         },
     )
-    # Pre-bucket the corpus on the fetch-join key OUTSIDE the timed
-    # window, exactly once per level: the production corpus is a
-    # bucketed Iceberg table that exists before any crawl starts, so
-    # rebuilding that layout is not crawl work — and paying a full
-    # 1-slot re-shuffle of the html column inside every timed rep
-    # measured the sandbox's disk, not the engine.
+
+
+def _crawl_prepare(spark, cores: int):
+    """Pre-bucketed corpus + warmup crawl (both outside the timed
+    window). Pre-bucketing on the fetch-join key happens exactly once
+    per level: the production corpus is a bucketed Iceberg table that
+    exists before any crawl starts, so rebuilding that layout is not
+    crawl work — and paying a full 1-slot re-shuffle of the html column
+    inside every timed rep measured the sandbox's disk, not the engine."""
+    from crawler_spark.corpus import webgen as wg
+    from crawler_spark.engine.driver import CrawlParams, crawl
+
     sites, spec = _bench_sites_spec(wg)
     n_part = cores * 3
     pages = (
@@ -199,23 +206,24 @@ def phase_crawl(cores: int) -> dict:
         sites=warm_sites,
     )
     log(f"cores={cores} warmup done")
+    return sites, pages, n_pages
 
-    # 2 reps per invocation (main() interleaves two invocations per
-    # level, so each level's best is min over 4 walls); keep ONLY the
-    # metric dicts between reps —
-    # holding the CrawlResult pins every rep's item DataFrames and
-    # therefore their localCheckpoint blocks (~1.5 GB of text per run),
-    # which degraded rep 2+ by 2-4x (measured: walls [55, 198, 80] on an
-    # IDLE box before this fix — the "noise" was self-induced memory
-    # pressure).
+
+def phase_crawl(cores: int) -> dict:
+    from crawler_spark.engine.driver import CrawlParams, crawl
+
+    spark = _crawl_session(cores, f"bench-crawl-{cores}")
+    sites, pages, n_pages = _crawl_prepare(spark, cores)
+
+    # CRAWL_REPS timed reps per invocation (main() can interleave two
+    # invocations per level via BENCH_ROUNDS); keep ONLY the metric
+    # dicts between reps — holding the CrawlResult pins every rep's
+    # item DataFrames and therefore their localCheckpoint blocks
+    # (~1.5 GB of text per run), which degraded rep 2+ by 2-4x.
     import gc
 
-    # the low level's walls are long and noise-robust (its taskset
-    # leaves 30 ambient cpus free); the high level's short walls need
-    # more shots at an uncontended window
-    reps = 3 if cores == HIGH else 2
-    walls, metric_runs, waves = [], [], 0
-    for _ in range(reps):
+    walls, metric_runs, step_runs, waves = [], [], [], 0
+    for _ in range(CRAWL_REPS):
         t0 = time.time()
         res = crawl(
             spark, pages,
@@ -227,6 +235,7 @@ def phase_crawl(cores: int) -> dict:
         )
         walls.append(time.time() - t0)
         metric_runs.append(res.metrics)
+        step_runs.append(res.step_walls)
         waves = res.waves
         del res  # release item/error DF refs -> checkpoint blocks free
         gc.collect()
@@ -236,10 +245,17 @@ def phase_crawl(cores: int) -> dict:
         for r in metric_runs[1:]
     )
     mets = metric_runs[0]
-    wall = min(walls)
+    best = min(range(len(walls)), key=lambda i: walls[i])
+    wall = walls[best]
+    steps = step_runs[best]
     urls = sum(m["admitted"] for m in mets)
     fetched = sum(m["fetched_ok"] for m in mets)
     items = sum(m["items"] for m in mets)
+    # measured orchestration share: everything that is NOT the two
+    # scalable heavy phases (admit+fetch+enrich checkpoint, outputs
+    # phase) is fixed per-wave driver/scheduling work
+    work = steps.get("admit", 0) + steps.get("fetch_ckpt", 0) + steps.get("outputs_ckpt", 0)
+    barrier = max(0.0, sum(steps.values()) - work)
     spark.stop()
     return {
         "cores": cores, "wall_sec": round(wall, 2), "n_pages": n_pages,
@@ -248,7 +264,94 @@ def phase_crawl(cores: int) -> dict:
         "waves": waves,
         "urls_per_sec": round(urls / wall, 2),
         "pages_per_sec": round(fetched / wall, 2),
+        "step_walls": steps,
+        "barrier_sec": round(barrier, 2),
+        "barrier_share": round(barrier / wall, 3),
     }
+
+
+def phase_crawl_store(cores: int) -> dict:
+    """Durable-state tax: ONE rep with a LakeStore attached — every wave
+    pays stage + atomic multi-table checkpoint + GC + state re-read.
+    Compared (in main) against the no-store wall at the same level."""
+    import shutil
+    import tempfile
+
+    from crawler_spark.engine.driver import CrawlParams, crawl
+    from crawler_spark.state.lakestore import LakeStore
+
+    spark = _crawl_session(cores, f"bench-crawl-store-{cores}")
+    sites, pages, n_pages = _crawl_prepare(spark, cores)
+    root = tempfile.mkdtemp(prefix="bench_store_")
+    try:
+        t0 = time.time()
+        res = crawl(
+            spark, pages,
+            CrawlParams(wave_seconds=CRAWL_WAVE_SECONDS, use_bloom=True,
+                        n_shards=64, record_order=False, max_waves=12,
+                        n_salts=16),
+            sites=sites,
+            store=LakeStore(root),
+            pages_prepartitioned=True,
+        )
+        wall = time.time() - t0
+        urls = sum(m["admitted"] for m in res.metrics)
+        waves = res.waves
+        steps = res.step_walls
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    spark.stop()
+    return {
+        "cores": cores, "wall_sec": round(wall, 2), "n_pages": n_pages,
+        "urls_processed": urls, "waves": waves,
+        "urls_per_sec": round(urls / wall, 2),
+        "step_walls": steps,
+    }
+
+
+def phase_salt(cores: int) -> dict:
+    """Politeness-window skew defense, measured: admission over a
+    frontier whose hot host holds 80% of rows, with n_salts=1 (single
+    sorted partition owns the hot host) vs n_salts=16 (two-phase salted
+    rank splits it). Expect the hot host's wall to drop ~linearly."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pyspark.sql import functions as F
+
+    from crawler_spark.operators.politeness import admit_per_host
+    from crawler_spark.session import get_spark
+
+    spark = get_spark(app_name=f"bench-salt-{cores}", cores=cores,
+                      shuffle_partitions=cores * 3)
+    n_rows = int(os.environ.get("BENCH_SALT_ROWS", "3000000"))
+    df = (
+        spark.range(n_rows)
+        .select(
+            F.when(F.col("id") % 10 < 8, F.lit("hot.local"))
+            .otherwise(F.concat(F.lit("h"), (F.col("id") % 7).cast("string"),
+                                F.lit(".local"))).alias("host"),
+            F.concat(F.lit("https://x/"), F.col("id").cast("string")).alias("url"),
+            (F.col("id") % 5).cast("int").alias("discovered_wave"),
+            # budget << hot-host rows so the rank path (not the
+            # under-budget shortcut) is what's being measured
+            F.lit(1000).alias("budget"),
+        )
+        .persist()
+    )
+    df.count()
+    out = {"cores": cores, "n_rows": n_rows}
+    for salts in (1, 16):
+        # warm + 2 timed
+        admit_per_host(df, "budget", n_salts=salts).write.format("noop").mode("overwrite").save()
+        walls = []
+        for _ in range(2):
+            t0 = time.time()
+            admit_per_host(df, "budget", n_salts=salts).write.format("noop").mode("overwrite").save()
+            walls.append(time.time() - t0)
+        out[f"salts{salts}_wall_sec"] = round(min(walls), 2)
+        log(f"salt bench n_salts={salts}: {min(walls):.2f}s")
+    out["speedup"] = round(out["salts1_wall_sec"] / out["salts16_wall_sec"], 2)
+    spark.stop()
+    return out
 
 
 def phase_parse(cores: int) -> dict:
@@ -268,8 +371,8 @@ def phase_parse(cores: int) -> dict:
                       shuffle_partitions=cores * 3)  # finer grain → no stragglers
     sites, spec, pages = _bench_corpus(spark, wg)
     # deterministic ~1/8 slice: the data-plane rate is per-page, the
-    # corpus pages are 2x fatter than round 2's, and this phase does 4
-    # full passes (2 warm + 2 timed) at as little as 1 slot
+    # corpus pages are fat, and this phase does 4 full passes (2 warm +
+    # 2 timed) at as little as 1 slot
     pages = pages.filter(F.pmod(F.xxhash64("url"), F.lit(8)) == 0).persist()
     n_pages = pages.count()
     out = pages.select(
@@ -318,12 +421,18 @@ def phase_queries(cores: int) -> dict:
         qs[warm](spark, SF_DIR).write.format("noop").mode("overwrite").save()
     out: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        t0 = time.time()
-        df = qs[name](spark, SF_DIR)
-        # noop sink: forces the full computation incl. projected columns
-        df.write.format("noop").mode("overwrite").save()
-        out[name] = round(time.time() - t0, 3)
-        log(f"query {name}: {out[name]}s")
+        # min-of-k: single-shot walls on this shared box carry ±2x
+        # ambient noise (round-3 verdict: an unexplained per-query
+        # "regression" was exactly this)
+        walls = []
+        for _ in range(QUERY_REPS):
+            t0 = time.time()
+            df = qs[name](spark, SF_DIR)
+            # noop sink: forces the full computation incl. projected columns
+            df.write.format("noop").mode("overwrite").save()
+            walls.append(time.time() - t0)
+        out[name] = round(min(walls), 3)
+        log(f"query {name}: {out[name]}s (walls {[round(w, 2) for w in walls]})")
     spark.stop()
     return out
 
@@ -351,56 +460,87 @@ def _run_sub(phase: str, cores: int) -> dict:
 
 def main() -> None:
     phase = os.environ.get("BENCH_PHASE")
-    if phase == "crawl":
-        print(json.dumps(phase_crawl(int(os.environ["BENCH_CORES"]))))
-        return
-    if phase == "queries":
-        print(json.dumps(phase_queries(int(os.environ["BENCH_CORES"]))))
-        return
-    if phase == "parse":
-        print(json.dumps(phase_parse(int(os.environ["BENCH_CORES"]))))
-        return
-    if phase == "prep":
-        print(json.dumps(phase_prep(int(os.environ["BENCH_CORES"]))))
+    if phase:
+        fn = {
+            "crawl": phase_crawl, "crawl_store": phase_crawl_store,
+            "queries": phase_queries, "parse": phase_parse,
+            "prep": phase_prep, "salt": phase_salt,
+        }[phase]
+        print(json.dumps(fn(int(os.environ["BENCH_CORES"]))))
         return
 
     prep = _run_sub("prep", CPUS)
     log(f"corpus ready: {prep}")
     rounds = int(os.environ.get("BENCH_ROUNDS", "1"))
-    log(f"crawl scaling run: local[{LOW}] vs local[{HIGH}] (interleaved x{rounds})")
 
     def _best(a: dict, b: dict) -> dict:
         # merge two invocations of the same level: keep the better wall,
         # report all walls. Ambient contention on this shared host comes
         # in multi-minute bursts (observed: identical-work walls ranging
-        # 58-116s), so the levels are INTERLEAVED lo,hi,lo,hi,... across
-        # `rounds` windows and each level's best is the min over all of
-        # them — the least-contended run is the measurement.
+        # 58-116s), so levels can be INTERLEAVED across `rounds` windows
+        # and each level's best is the min over all of them — the
+        # least-contended run is the measurement.
         out = dict(a if a["wall_sec"] <= b["wall_sec"] else b)
         out["walls"] = a["walls"] + b["walls"]
         return out
 
-    def _interleaved(phase: str) -> tuple[dict, dict]:
-        lo = _run_sub(phase, LOW)
-        hi = _run_sub(phase, HIGH)
+    def _interleaved(phase: str, lo_c: int, hi_c: int) -> tuple[dict, dict]:
+        lo = _run_sub(phase, lo_c)
+        hi = _run_sub(phase, hi_c)
         for _ in range(rounds - 1):
-            lo = _best(lo, _run_sub(phase, LOW))
-            hi = _best(hi, _run_sub(phase, HIGH))
+            lo = _best(lo, _run_sub(phase, lo_c))
+            hi = _best(hi, _run_sub(phase, hi_c))
         return lo, hi
 
-    lo, hi = _interleaved("crawl")
-    eff = (hi["urls_per_sec"] / lo["urls_per_sec"]) / (HIGH / LOW)
-    log(f"low: {lo}")
-    log(f"high: {hi}")
-    log(f"crawl wave-loop scaling efficiency ({LOW}->{HIGH} slots): {eff:.3f}")
+    crawl_pairs: dict[str, dict] = {}
+    parse_pairs: dict[str, dict] = {}
+    for lo_c, hi_c in PAIRS:
+        log(f"crawl scaling run: local[{lo_c}] vs local[{hi_c}]")
+        lo, hi = _interleaved("crawl", lo_c, hi_c)
+        eff = (hi["urls_per_sec"] / lo["urls_per_sec"]) / (hi_c / lo_c)
+        log(f"low: {lo}")
+        log(f"high: {hi}")
+        log(f"crawl wave-loop scaling efficiency ({lo_c}->{hi_c} slots): {eff:.3f}")
+        crawl_pairs[f"{lo_c}-{hi_c}"] = {
+            f"local{lo_c}": lo, f"local{hi_c}": hi,
+            "scaling_efficiency": round(eff, 3),
+        }
 
-    log(f"data-plane parse scaling run: local[{LOW}] vs local[{HIGH}] (interleaved x{rounds})")
-    plo, phi = _interleaved("parse")
-    peff = (phi["pages_per_sec"] / plo["pages_per_sec"]) / (HIGH / LOW)
-    log(f"parse low: {plo}")
-    log(f"parse high: {phi}")
-    log(f"data-plane scaling efficiency ({LOW}->{HIGH} slots): {peff:.3f}")
+        log(f"data-plane parse scaling run: local[{lo_c}] vs local[{hi_c}]")
+        plo, phi = _interleaved("parse", lo_c, hi_c)
+        peff = (phi["pages_per_sec"] / plo["pages_per_sec"]) / (hi_c / lo_c)
+        log(f"parse low: {plo}")
+        log(f"parse high: {phi}")
+        log(f"data-plane scaling efficiency ({lo_c}->{hi_c} slots): {peff:.3f}")
+        parse_pairs[f"{lo_c}-{hi_c}"] = {
+            f"local{lo_c}": plo, f"local{hi_c}": phi,
+            "scaling_efficiency": round(peff, 3),
+        }
 
+    # headline pair: the HIGHEST-baseline pair that meets the criterion
+    # (strongest form); fall back to the best pair otherwise — all pairs
+    # are recorded either way.
+    def _pick(pairs: dict[str, dict]) -> str:
+        passing = [k for k, v in pairs.items() if v["scaling_efficiency"] >= 0.8]
+        if passing:
+            return max(passing, key=lambda k: int(k.split("-")[0]))
+        return max(pairs, key=lambda k: pairs[k]["scaling_efficiency"])
+
+    ckey = _pick(crawl_pairs)
+    pkey = _pick(parse_pairs)
+    lo_c, hi_c = (int(x) for x in ckey.split("-"))
+    lo, hi = crawl_pairs[ckey][f"local{lo_c}"], crawl_pairs[ckey][f"local{hi_c}"]
+
+    # durable-state tax: one rep with LakeStore at the headline pair's
+    # high level; overhead vs the best no-store wall at the same level
+    store = _run_sub("crawl_store", hi_c)
+    nostore_wall = hi["wall_sec"]
+    store["overhead_sec"] = round(store["wall_sec"] - nostore_wall, 2)
+    store["overhead_per_wave_sec"] = round(store["overhead_sec"] / max(1, store["waves"]), 2)
+    store["overhead_share"] = round(store["overhead_sec"] / store["wall_sec"], 3)
+    log(f"durable-state tax: {store}")
+
+    salt = _run_sub("salt", 8)
     queries = _run_sub("queries", CPUS)
 
     result = {
@@ -410,55 +550,84 @@ def main() -> None:
         "queries": queries,
         "sf": SF_DIR,
         "crawl": {
-            f"local{LOW}": lo,
-            f"local{HIGH}": hi,
-            "scaling_efficiency": round(eff, 3),
+            f"local{lo_c}": lo,
+            f"local{hi_c}": hi,
+            "scaling_efficiency": crawl_pairs[ckey]["scaling_efficiency"],
             "criterion": "throughput(local[4N])/throughput(local[N])/4 >= 0.8",
+            "pairs": {k: v["scaling_efficiency"] for k, v in crawl_pairs.items()},
+            "all_pairs": crawl_pairs,
         },
         "data_plane": {
-            f"local{LOW}": plo,
-            f"local{HIGH}": phi,
-            "scaling_efficiency": round(peff, 3),
+            f"local{int(pkey.split('-')[0])}": parse_pairs[pkey][f"local{int(pkey.split('-')[0])}"],
+            f"local{int(pkey.split('-')[1])}": parse_pairs[pkey][f"local{int(pkey.split('-')[1])}"],
+            "scaling_efficiency": parse_pairs[pkey]["scaling_efficiency"],
+            "pairs": {k: v["scaling_efficiency"] for k, v in parse_pairs.items()},
         },
+        "durable_state": store,
+        "politeness_salt": salt,
     }
-    _write_bench_md(result)
+    _write_bench_md(result, crawl_pairs, parse_pairs)
     print(json.dumps(result))
 
 
-def _write_bench_md(r: dict) -> None:
-    lo_k, hi_k = f"local{LOW}", f"local{HIGH}"
-    lo, hi = r["crawl"][lo_k], r["crawl"][hi_k]
+def _write_bench_md(r: dict, crawl_pairs: dict, parse_pairs: dict) -> None:
     lines = [
         "# BENCH — measured results (latest run)",
         "",
-        "## Crawl wave-loop throughput (same input, two parallelism levels)",
+        "## Crawl wave-loop throughput (same input, two parallelism levels, BOTH pairs)",
         "",
-        "| level | wall (s) | URLs/sec | pages/sec | waves | corpus pages |",
-        "|---|---|---|---|---|---|",
-        f"| {lo_k} | {lo['wall_sec']} | {lo['urls_per_sec']} | {lo['pages_per_sec']} | {lo['waves']} | {lo['n_pages']} |",
-        f"| {hi_k} | {hi['wall_sec']} | {hi['urls_per_sec']} | {hi['pages_per_sec']} | {hi['waves']} | {hi['n_pages']} |",
+        "| pair | level | wall (s) | URLs/sec | pages/sec | waves | barrier (s) | barrier share |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for key, pv in crawl_pairs.items():
+        for lvl, d in pv.items():
+            if not lvl.startswith("local"):
+                continue
+            lines.append(
+                f"| {key} | {lvl} | {d['wall_sec']} | {d['urls_per_sec']} | "
+                f"{d['pages_per_sec']} | {d['waves']} | {d.get('barrier_sec', '—')} | "
+                f"{d.get('barrier_share', '—')} |"
+            )
+    lines += [
         "",
-        f"**Wave-loop scaling efficiency ({LOW}→{HIGH} slots): "
-        f"{r['crawl']['scaling_efficiency']}** — fat-wave corpus (2 waves: "
-        "all list pages, then every detail page), so the measured loop is "
-        "dominated by the single-pass fetch-join + Arrow enrich UDF the way "
-        "a 10^10-URL wave would be; residual loss is the fixed per-wave "
-        "orchestration (~3-5s/wave, measured) plus shared-host ambient "
-        "noise. Each level is cpu-bound via taskset to 2 cpus per slot "
-        "(JVM thread + Python worker).",
+        "Scaling efficiency per pair (criterion ≥ 0.8, BASELINE.json): "
+        + ", ".join(f"**{k}: {v['scaling_efficiency']}**" for k, v in crawl_pairs.items()),
+        "",
+        "Barrier = measured per-step wall NOT in the scalable phases "
+        "(admit+fetch+enrich checkpoint, outputs phase) — the fixed "
+        "per-wave driver orchestration. The state pipeline (seen/shards "
+        "checkpoints + bloom densify) runs in a background thread joined "
+        "after the next wave's fetch, so it no longer extends the "
+        "critical path.",
         "",
         "## Data-plane throughput (extract+canonicalize+hash every page, one batch job)",
         "",
-        "| level | wall (s) | pages/sec |",
-        "|---|---|---|",
-        f"| {lo_k} | {r['data_plane'][lo_k]['wall_sec']} | {r['data_plane'][lo_k]['pages_per_sec']} |",
-        f"| {hi_k} | {r['data_plane'][hi_k]['wall_sec']} | {r['data_plane'][hi_k]['pages_per_sec']} |",
+        "| pair | level | wall (s) | pages/sec |",
+        "|---|---|---|---|",
+    ]
+    for key, pv in parse_pairs.items():
+        for lvl, d in pv.items():
+            if not lvl.startswith("local"):
+                continue
+            lines.append(f"| {key} | {lvl} | {d['wall_sec']} | {d['pages_per_sec']} |")
+    lines += [
         "",
-        f"**Data-plane scaling efficiency ({LOW}→{HIGH} slots): "
-        f"{r['data_plane']['scaling_efficiency']}** (criterion ≥ 0.8 per "
-        "BASELINE.json; sandbox stand-in for N vs 4N executors)",
+        "Data-plane scaling efficiency per pair: "
+        + ", ".join(f"**{k}: {v['scaling_efficiency']}**" for k, v in parse_pairs.items()),
         "",
-        f"## Query timings at {r['sf']} (local[{CPUS}], noop sink)",
+        "## Durable-state tax (LakeStore attached, same corpus)",
+        "",
+        f"```json\n{json.dumps(r['durable_state'], indent=2)}\n```",
+        "",
+        "Every wave pays stage + atomic multi-table checkpoint + GC + "
+        "state re-read; the overhead rows above quantify the per-wave "
+        "durability cost the store=None scaling runs exclude.",
+        "",
+        "## Politeness salt skew defense (80%-one-host frontier)",
+        "",
+        f"```json\n{json.dumps(r['politeness_salt'], indent=2)}\n```",
+        "",
+        f"## Query timings at {r['sf']} (local[{CPUS}], noop sink, min of {QUERY_REPS})",
         "",
         "| query | sec |",
         "|---|---|",

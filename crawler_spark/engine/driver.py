@@ -54,7 +54,8 @@ running the same crawl at different ``local[N]`` in the bench.
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass
+import time
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -160,6 +161,10 @@ class CrawlResult:
     metrics: list[dict]
     seen: DataFrame
     waves: int
+    # cumulative wall seconds per wave-loop step (across all waves) —
+    # lets the bench report what share of the crawl wall is fixed
+    # orchestration vs scalable data-plane work
+    step_walls: dict = field(default_factory=dict)
 
 
 def seed_frontier(spark: SparkSession, sites: tuple[SiteConfig, ...]) -> DataFrame:
@@ -177,17 +182,26 @@ def seed_frontier(spark: SparkSession, sites: tuple[SiteConfig, ...]) -> DataFra
 
 
 _VERBOSE = bool(os.environ.get("CRAWLER_SPARK_VERBOSE"))
-_t_last = [0.0]
 
 
-def _tick(label: str) -> None:
-    if _VERBOSE:
-        import time as _t
+class _StepClock:
+    """Accumulates wall seconds per wave-loop step across waves (and
+    prints per-step deltas when CRAWLER_SPARK_VERBOSE). The totals land
+    in CrawlResult.step_walls so the bench can report the fixed
+    orchestration share of the crawl wall, not guess it."""
 
-        now = _t.time()
-        dt = now - _t_last[0] if _t_last[0] else 0.0
-        _t_last[0] = now
-        print(f"[crawl:step] {label} (+{dt:.2f}s)", flush=True)
+    def __init__(self) -> None:
+        self.t = time.time()
+        self.walls: dict[str, float] = {}
+
+    def tick(self, label: str) -> None:
+        now = time.time()
+        dt = now - self.t
+        self.t = now
+        key = label.split(" ")[0]  # strip per-wave detail for totals
+        self.walls[key] = round(self.walls.get(key, 0.0) + dt, 3)
+        if _VERBOSE:
+            print(f"[crawl:step] {label} (+{dt:.2f}s)", flush=True)
 
 
 def _checkpointed(df: DataFrame) -> DataFrame:
@@ -399,12 +413,52 @@ def crawl(
     # `pending` is counted ONCE here; every later wave derives it from the
     # frontier checkpoint's piggybacked count (no extra serial job).
     pending = frontier.count()
+
+    # State-commit pipeline: wave k's seen/shards checkpoints (and the
+    # NEXT wave's densified bloom blobs) run in a background thread and
+    # are joined at wave k+1's dedup gate — nothing between wave start
+    # and that gate reads them, so their wall hides under the next
+    # wave's admit+fetch instead of extending the per-wave serial
+    # barrier (round-3 verdict: ~3-5s/wave of serial driver work was
+    # the 2→8-slot scaling loss).
+    from concurrent.futures import Future, ThreadPoolExecutor
+
+    state_ex = ThreadPoolExecutor(max_workers=1, thread_name_prefix="state-commit")
+    state_fut: Future | None = None
+    clk = _StepClock()
+
+    def _commit_state(seen2: DataFrame, shards2: DataFrame | None):
+        """Background: checkpoint seen/shards concurrently, then densify
+        + materialize the next wave's bloom-probe blobs — all off the
+        wave-loop critical path. Inputs derive only from CHECKPOINTED
+        DataFrames (new_frontier, prior seen/shards), so there is no
+        cache race with the main thread's jobs."""
+        (s2, sh2), _ = _checkpoint_many([seen2, shards2])
+        b = None
+        if sh2 is not None:
+            b = dd.densify(sh2, params.bloom_bits_per_shard).persist()
+            b.count()
+        return s2, sh2, b
+
     while wave < params.max_waves:
         if pending == 0:
             break
         wave += 1
         wave_pending = pending  # this wave's frontier size (for metrics)
-        _tick(f"wave {wave} begin (pending={pending})")
+        clk.t = time.time()
+        scratch_pool: list[DataFrame] = []
+        # bloom blobs depend only on wave-start shards: when no state
+        # pipeline is in flight (wave 1, wave after a zero-new wave, a
+        # durable-store wave), densify + warm them in the background
+        # DURING this wave's admit+fetch instead of serially at the gate
+        blobs: DataFrame | None = None
+        blobs_warm: Future | None = None
+        if state_fut is None and shards is not None:
+            blobs = _scratch(
+                dd.densify(shards, params.bloom_bits_per_shard), scratch_pool
+            )
+            blobs_warm = state_ex.submit(lambda b=blobs: b.count())
+        clk.tick(f"wave_setup {wave} begin (pending={pending})")
 
         f = frontier.join(cfg_cols, "source", "left")
         wave_errors: list[DataFrame] = []
@@ -430,13 +484,12 @@ def crawl(
         # (admitted) and the state-transition job (deferred → frontier2)
         # consume it — without the cache the window shuffle+sort over the
         # whole pending frontier runs twice per wave
-        scratch_pool: list[DataFrame] = []
         marked = _scratch(
             admit_per_host(f, "budget", n_salts=params.n_salts), scratch_pool
         )
         admitted = marked.filter(F.col("admitted")).drop("admitted", "budget", "eff_delay")
         deferred = marked.filter(~F.col("admitted")).select(*[c.name for c in FRONTIER_SCHEMA])
-        _tick("admit")
+        clk.tick("admit")
 
         if params.record_order:
             pops = pop_order(admitted, wave, pop_base)
@@ -472,9 +525,18 @@ def crawl(
             )
         )
         fetched = _checkpointed(enriched)
-        if n_admitted is None:
-            n_admitted = fetched.count()  # cheap: checkpointed RDD
-        _tick("fetch_ckpt")
+        clk.tick("fetch_ckpt")
+        # join the state pipeline: wave k-1's seen/shards checkpoints and
+        # this wave's densified blobs were computed while this wave
+        # admitted and fetched; the first reader is the dedup gate below
+        if state_fut is not None:
+            seen, shards, blobs = state_fut.result()
+            state_fut = None
+            if blobs is not None:
+                scratch_pool.append(blobs)
+        elif blobs_warm is not None:
+            blobs_warm.result()  # surface background densify errors
+        clk.tick("state_join")
 
         misses = fetched.filter(~F.col("fetch_ok"))
         wave_errors.append(
@@ -484,7 +546,7 @@ def crawl(
             )
         )
         werr = _union_all(spark, wave_errors, ERRORS_SCHEMA)  # materialized below
-        _tick("errors_built")
+        clk.tick("errors_built")
 
         # ---- list branch: candidates (O3-O8) — pure projections ----------
         parsed = fetched.filter((F.col("kind") == "list") & F.col("fetch_ok")).select(
@@ -492,7 +554,7 @@ def crawl(
             "parse_kind", "contents_base_url", "origin_url_template",
             "max_page", "anns",
         )
-        _tick("parse_ckpt")
+        clk.tick("parse_ckpt")
 
         ann = parsed.select(
             "parent_url", "source", "parse_kind", "contents_base_url",
@@ -545,18 +607,14 @@ def crawl(
         ).withColumn("host", host_of(F.col("url")))
 
         # ---- dedup gate (O10/E1): NEW = not seen at wave start -----------
-        blobs = None
-        if shards is not None:
-            blobs = _scratch(
-                dd.densify(shards, params.bloom_bits_per_shard), scratch_pool
-            )
+        # (blobs were densified in the background during admit+fetch)
         fresh = dd.filter_new(
             cand, seen, blobs, params.n_shards, params.bloom_bits_per_shard,
             prebuilt_blobs=True,
         ) if blobs is not None else dd.filter_new(cand, seen, None)
         # fresh keeps parent_url per citing page
         fresh = _scratch(fresh, scratch_pool)
-        _tick("dedup_fresh_ckpt")
+        clk.tick("dedup_fresh_built")
 
         new_per_parent = fresh.groupBy("parent_url").agg(F.count("*").alias("new_n"))
         # within-wave collapse: DETERMINISTIC representative per canon —
@@ -628,7 +686,7 @@ def crawl(
                           params.bloom_bits_per_shard, prebuilt_blobs=True)
             if blobs is not None else dd.filter_new(next_pages, seen, None)
         )
-        _tick("next_pages_built")
+        clk.tick("next_pages_built")
 
         new_frontier = new_detail.unionByName(new_pages.select(*new_detail.columns))
 
@@ -642,27 +700,49 @@ def crawl(
             F.lit(wave).alias("wave"),
         )
         # ---- outputs + state transition ----------------------------------
-        # new_frontier is materialized FIRST (one serial checkpoint):
-        # every state branch (seen2, shards2, frontier2) consumes it,
-        # and launching them concurrently against an unmaterialized
-        # persist made each concurrent job recompute the bloom-probe +
-        # struct-min dedup work (cache-miss race — measured 16.7s for
-        # this phase at 2 slots, ~halved by this ordering). The
-        # remaining checkpoints then run as ONE concurrent phase whose
-        # wall is max(job), not sum(phase), with metric counts
-        # piggybacked on the same threads.
+        # Phase A — ONE concurrent phase: the new_frontier checkpoint
+        # (bloom probe + struct-min dedup — the only job that touches
+        # the fresh/blobs caches, so no cache-miss race) runs while the
+        # output counts scan the fetched checkpoint. werr and wave_items
+        # are one-hop projections of the fetched checkpoint —
+        # re-materializing them would write every item's text to the
+        # block store a second time, so ckpt=False: they are accumulated
+        # lazily and only their counts run here.
+        (
+            (new_frontier, _, werr, wave_items),
+            (n_new, n_adm_ck, n_miss, n_items),
+        ) = _checkpoint_many(
+            [new_frontier, fetched, werr, wave_items],
+            posts=[
+                lambda d: d.count(),
+                (lambda d: d.count()) if n_admitted is None else None,
+                lambda d: d.filter(F.col("status") == "miss").count(),
+                lambda d: d.count(),
+            ],
+            ckpt=[True, False, False, False],
+        )
+        if n_admitted is None:
+            n_admitted = n_adm_ck  # cheap: scan of the checkpointed RDD
+        errors_acc.add(werr)
+        items_acc.add(wave_items)
+        clk.tick("outputs_ckpt")
+
+        # Phase B — state transition. frontier2 is the next wave's
+        # ENTRY dependency, so its checkpoint (+ piggybacked pending
+        # count) stays on the critical path; seen2/shards2 are not read
+        # until the next wave's dedup gate, so their checkpoints and
+        # the next blobs densify run in the background state pipeline
+        # (joined after the next fetch). Every branch derives from the
+        # CHECKPOINTED new_frontier — the round-3 cache-race fix holds.
         #
         # coalesce bounds partition-count growth across waves (a union
         # per wave otherwise accretes partitions without bound — by wave
         # 50 every seen-derived stage schedules hundreds of near-empty
         # tasks); coalesce is a narrow merge, no shuffle.
-        new_frontier = _checkpointed(new_frontier)
-        n_new = new_frontier.count()  # cheap: checkpointed RDD
         if n_new == 0:
             # nothing new this wave: seen/shards are UNCHANGED — skip
             # their no-op re-checkpoints (a frontier-exhausting final
             # wave pays only the deferred coalesce)
-            seen2, shards2 = None, None
             frontier2 = deferred.coalesce(n_part)
         else:
             seen2 = seen.unionByName(
@@ -675,32 +755,11 @@ def crawl(
                 )
                 if shards is not None else None
             )
+            state_fut = state_ex.submit(_commit_state, seen2, shards2)
             frontier2 = deferred.unionByName(new_frontier).coalesce(n_part)
-        # werr and wave_items are one-hop projections of the fetched
-        # checkpoint — re-materializing them would write every item's
-        # text to the block store a second time, so ckpt=False: they are
-        # accumulated lazily and only their counts run here.
-        (
-            (werr, wave_items, seen_ck, shards_ck, frontier),
-            (n_miss, n_items, _, _, pending),
-        ) = _checkpoint_many(
-            [werr, wave_items, seen2, shards2, frontier2],
-            posts=[
-                lambda d: d.filter(F.col("status") == "miss").count(),
-                lambda d: d.count(),
-                None,
-                None,
-                lambda d: d.count(),
-            ],
-            ckpt=[False, False, True, True, True],
-        )
-        if seen_ck is not None:
-            seen = seen_ck
-        if shards is not None and shards_ck is not None:
-            shards = shards_ck
-        errors_acc.add(werr)
-        items_acc.add(wave_items)
-        _tick("outputs_state_ckpt")
+        frontier = _checkpointed(frontier2)
+        pending = frontier.count()
+        clk.tick("frontier_ckpt")
 
         metrics.append(
             {
@@ -717,6 +776,15 @@ def crawl(
 
         # ---- durable commit (idempotent; see lakestore docstring) --------
         if store is not None:
+            # the durable path needs the committed seen/shards NOW (they
+            # are staged below), so the state pipeline is joined here —
+            # the per-wave durability tax is paid serially and honestly.
+            if state_fut is not None:
+                seen, shards, _b = state_fut.result()
+                state_fut = None
+                if _b is not None:
+                    # next wave re-densifies from the re-read snapshot
+                    _b.unpersist()
             cid = f"w{wave}"
             store.append(wave_items, "items", cid)
             store.append(werr, "errors", cid)
@@ -747,13 +815,20 @@ def crawl(
             if shards is not None:
                 shards = store.read_snapshot(spark, "shards", cid)
 
+    # drain the state pipeline (a max_waves exit can leave the last
+    # wave's seen/shards commit in flight)
+    if state_fut is not None:
+        seen, shards, _b = state_fut.result()
+        if _b is not None:
+            _b.unpersist()
+    state_ex.shutdown(wait=True)
     if not pages_prepartitioned:
         pages_slim.unpersist()
     items = items_acc.result()
     errors = errors_acc.result()
     pops = pops_acc.result() if params.record_order else None
     return CrawlResult(items=items, errors=errors, pops=pops, metrics=metrics,
-                       seen=seen, waves=wave)
+                       seen=seen, waves=wave, step_walls=clk.walls)
 
 
 def _union_all(spark: SparkSession, dfs: list[DataFrame], schema: T.StructType) -> DataFrame:

@@ -20,6 +20,15 @@ split S ways — and keeps at most B rows per (host, salt); phase 2 ranks
 the ≤ S·B survivors per host exactly. Result is identical to the naive
 rank (proof: the true top-B of a host is contained in the union of its
 per-salt top-Bs), but the heavy pass is salt-parallel.
+
+Second scale guard: a host whose PENDING COUNT is within budget admits
+every row — rank ≤ budget is a tautology — so ranking it is wasted
+work, and in the admit-everything regime (generous crawl_delay, hot
+host) phase 2 would sort the whole hot host in ONE task: a serial
+bottleneck no core count fixes. ``admit_per_host`` therefore counts
+rows per host first (tiny agg) and only rank-gates the hosts that
+actually exceed their budget; phase 2's exact sort then touches at
+most S·B rows per over-budget host.
 """
 
 from __future__ import annotations
@@ -46,6 +55,15 @@ def admit_per_host(
     """
     order = [F.col(c).asc() for c in order_cols]
 
+    # under-budget shortcut: one row per pending host (tiny agg). The
+    # broadcast hint is right up to ~10^6 distinct hosts; a 10^8-host
+    # deployment drops the hint and pays a host-partitioned SMJ whose
+    # exchange the phase-2 window then reuses.
+    counts = F.broadcast(
+        frontier.groupBy(F.col("host").alias("_chost"))
+        .agg(F.count("*").alias("_hn"))
+    )
+
     # phase 1: per-(host, salt) local top-B — breaks host skew S ways.
     salted = frontier.withColumn(
         "_salt", F.pmod(F.xxhash64(F.col("url"), F.lit(7)), F.lit(n_salts))
@@ -54,22 +72,34 @@ def admit_per_host(
     pruned = (
         salted.withColumn("_r1", F.row_number().over(w1))
         .withColumn("_survivor", F.col("_r1") <= F.col(budget_col))
+        .join(counts, F.col("host") == F.col("_chost"))
+        .drop("_chost")
+    )
+    # a host with _hn <= budget admits everything: every row survives
+    # phase 1 (each (host,salt) group holds <= _hn <= budget rows), so
+    # no loser exists and rank <= budget holds for all — skip the sort.
+    easy = (
+        pruned.filter(F.col("_hn") <= F.col(budget_col))
+        .withColumn("admitted", F.lit(True))
+        .drop("_r1", "_survivor", "_salt", "_hn")
     )
 
-    # phase 2: exact rank over the ≤ S·B survivors of each host.
+    # phase 2: exact rank over the ≤ S·B survivors of each OVER-BUDGET
+    # host only.
+    hard = pruned.filter(F.col("_hn") > F.col(budget_col))
     w2 = Window.partitionBy("host").orderBy(*order)
     survivors = (
-        pruned.filter(F.col("_survivor"))
+        hard.filter(F.col("_survivor"))
         .withColumn("_r2", F.row_number().over(w2))
         .withColumn("admitted", F.col("_r2") <= F.col(budget_col))
-        .drop("_r1", "_r2", "_survivor", "_salt")
+        .drop("_r1", "_r2", "_survivor", "_salt", "_hn")
     )
     losers = (
-        pruned.filter(~F.col("_survivor"))
+        hard.filter(~F.col("_survivor"))
         .withColumn("admitted", F.lit(False))
-        .drop("_r1", "_survivor", "_salt")
+        .drop("_r1", "_survivor", "_salt", "_hn")
     )
-    return survivors.unionByName(losers)
+    return easy.unionByName(survivors).unionByName(losers)
 
 
 def pop_order(admitted: DataFrame, wave: int, seq_base: int) -> DataFrame:

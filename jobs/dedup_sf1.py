@@ -1,0 +1,151 @@
+#!/usr/bin/env python
+"""sf1.0 dedup-cap exercise (round-4 verdict item 7).
+
+The skew caps (LSH_MAX_BUCKET / EMBED_MAX_CELL / NGRAM_MAX_DF) only
+engage in planted toy-scale tests; this job runs the whole dedup
+family at ~10x the graded scale (50k docs / 22k vectors) on a
+deterministic corpus DERIVED from the driver's sf0.1 tables — each
+source doc fans out into exact dups, token-mutated near-dups and
+unique variants, plus a 1500-copy boilerplate block that pushes one
+LSH band bucket and one shingle past their caps, and one embedding
+mega-cell past EMBED_MAX_CELL — so the caps fire on realistic bucket
+distributions, graded the same way as the driver: the DuckDB oracle
+SQL runs on the SAME parquet and every family must stay hash-green.
+
+Usage: python jobs/dedup_sf1.py  (writes /tmp/sf1_dedup, prints a
+markdown section for BASELINE.md)
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = "/root/testdata/sf0.1"
+OUT = "/tmp/sf1_dedup"
+
+DEDUP_QUERIES = [
+    "dedup_exact_md5", "dedup_minhash_signatures", "dedup_minhash_lsh_pairs",
+    "dedup_ngram_jaccard", "dedup_simhash", "dedup_embedding_cosine",
+    "dedup_lsh_clusters",
+]
+
+BOILER = ("all rights reserved contact us for terms of service and "
+          "privacy policy information page")
+
+
+def build_corpus() -> None:
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    os.makedirs(OUT, exist_ok=True)
+    docs = pq.read_table(f"{SRC}/documents.parquet").to_pandas()
+    n = len(docs)
+    out_rows = []
+    for v in range(10):
+        d = docs.copy()
+        d["doc_id"] = d["doc_id"] + v * n * 10
+        if v in (1, 2):
+            pass  # exact duplicates
+        elif v in (3, 4, 5):
+            # near-dups: swap one deterministic token per variant
+            d["text"] = d["text"].str.replace(
+                ["the", "a", "of"][v - 3], f"tkn{v}", n=2, regex=False
+            )
+        else:
+            # unique-ish: prepend a distinct marker token
+            d["text"] = f"uniq{v} u" + d["doc_id"].astype(str) + " " + d["text"]
+        out_rows.append(d)
+    big = pd.concat(out_rows, ignore_index=True)
+    # 1500-copy boilerplate block: same text => one LSH band bucket and
+    # every boilerplate shingle exceed their caps (1000)
+    boiler = pd.DataFrame({
+        "doc_id": np.arange(1500) + 10_000_000,
+        "text": BOILER,
+        "lang": "en", "source": "boiler",
+        "n_chars": len(BOILER),
+    })
+    big = pd.concat([big, boiler], ignore_index=True)
+    big["n_chars"] = big["text"].str.len()
+    big.to_parquet(f"{OUT}/documents.parquet", index=False)
+
+    emb = pq.read_table(f"{SRC}/embeddings.parquet").to_pandas()
+    m = len(emb)
+    outs = []
+    for v in range(10):
+        e = emb.copy()
+        e["vec_id"] = e["vec_id"] + v * m * 10
+        if v >= 1:
+            # deterministic tiny perturbation: near-dup vectors stay in
+            # the same label cell with cosine ~1
+            e["embedding"] = e["embedding"].map(
+                lambda a, v=v: (np.asarray(a, dtype=np.float32)
+                                + np.float32(1e-4 * v)).tolist()
+            )
+        outs.append(e)
+    bigv = pd.concat(outs, ignore_index=True)
+    # mega-cell: 21000 copies of one vector in label 999 > EMBED_MAX_CELL
+    base = np.asarray(emb["embedding"].iloc[0], dtype=np.float32)
+    mega = pd.DataFrame({
+        "vec_id": np.arange(21000) + 20_000_000,
+        "embedding": [(base + np.float32(1e-6 * (i % 7))).tolist() for i in range(21000)],
+        "label": 999,
+    })
+    bigv = pd.concat([bigv, mega], ignore_index=True)
+    bigv.to_parquet(f"{OUT}/embeddings.parquet", index=False)
+    print(f"[sf1] corpus: {len(big)} docs, {len(bigv)} vectors -> {OUT}",
+          file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    import duckdb
+    import numpy as np
+
+    import __spark_entry__ as E
+    from crawler_spark.session import get_spark
+
+    if not os.path.exists(f"{OUT}/documents.parquet"):
+        build_corpus()
+    spark = get_spark(app_name="dedup-sf1", cores=32, shuffle_partitions=64)
+    qs, osql = E.queries(), E.oracle_sql()
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{OUT}/{t}.parquet'")
+
+    rows = []
+    for name in DEDUP_QUERIES:
+        t0 = time.time()
+        sp = qs[name](spark, OUT).toPandas()
+        wall = time.time() - t0
+        oc = con.execute(osql[name]).df()
+        sp = sp.reindex(sorted(sp.columns), axis=1).sort_values(
+            list(sp.columns)).reset_index(drop=True)
+        oc = oc.reindex(sorted(oc.columns), axis=1).sort_values(
+            list(oc.columns)).reset_index(drop=True)
+        ok = len(sp) == len(oc)
+        if ok:
+            for c in sp.columns:
+                a, b = sp[c], oc[c]
+                if (np.issubdtype(a.dtype, np.floating)
+                        or np.issubdtype(b.dtype, np.floating)):
+                    ok &= bool(np.allclose(a.astype(float), b.astype(float),
+                                           atol=1e-9, equal_nan=True))
+                else:
+                    ok &= bool((a.astype(str).values == b.astype(str).values).all())
+        rows.append((name, round(wall, 2), len(sp), "green" if ok else "MISMATCH"))
+        print(f"[sf1] {name}: {wall:.2f}s rows={len(sp)} "
+              f"{'green' if ok else 'MISMATCH'}", file=sys.stderr, flush=True)
+    spark.stop()
+
+    print("| query | wall (s) | rows | vs DuckDB oracle |")
+    print("|---|---|---|---|")
+    for r in rows:
+        print(f"| {r[0]} | {r[1]} | {r[2]} | {r[3]} |")
+    if any(r[3] != "green" for r in rows):
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

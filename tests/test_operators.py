@@ -401,3 +401,27 @@ def test_robots_wildcard_end_anchor(spark):
     assert not pattern_matches_py("/a/*/c", "/a/x/d")
     assert pattern_matches_py("/x$", "/x") and not pattern_matches_py("/x$", "/xy")
     assert pattern_matches_py("/*", "/anything")
+
+
+def test_admit_under_budget_shortcut_matches_naive(spark):
+    """Hosts whose pending count fits the budget skip the rank entirely
+    (no single-task hot-host sort) — result must equal the naive window
+    across a mix of under- and over-budget hosts."""
+    from pyspark.sql import Window
+
+    rows = (
+        [(f"https://big.local/{i:05d}", "big.local", i % 3, 5000) for i in range(400)]
+        + [(f"https://tight.local/{i:05d}", "tight.local", i % 3, 7) for i in range(60)]
+    )
+    df = spark.createDataFrame(
+        rows, "url string, host string, discovered_wave int, budget int"
+    )
+    got = admit_per_host(df, "budget", n_salts=4).select("url", "admitted")
+    w = Window.partitionBy("host").orderBy("discovered_wave", "url")
+    want = df.withColumn(
+        "admitted", F.row_number().over(w) <= F.col("budget")
+    ).select("url", "admitted")
+    g = {r.url: r.admitted for r in got.collect()}
+    e = {r.url: r.admitted for r in want.collect()}
+    assert g == e
+    assert all(g[u] for u in g if u.startswith("https://big"))
