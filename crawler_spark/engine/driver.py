@@ -57,7 +57,7 @@ import os
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -524,7 +524,29 @@ def crawl(
                 F.col("_e.text").alias("text"),
             )
         )
+        # piggyback the wave's row counts on the checkpoint action via
+        # observe(): CollectMetrics accumulates per-task during the
+        # materialization, so n_admitted / n_miss / n_items cost ZERO
+        # extra jobs — the separate count scans of this fat checkpoint
+        # (full text of every admitted page) were ~10-18s/wave of
+        # memory-bandwidth-bound re-reads (pinned by a canary test in
+        # tests/test_plans.py: Observation must fire under
+        # localCheckpoint materialization)
+        obs = Observation()
+        enriched = enriched.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum((~F.col("fetch_ok")).cast("long")).alias("n_miss"),
+            F.sum(
+                (F.col("fetch_ok") & (F.col("kind") == "detail")).cast("long")
+            ).alias("n_items"),
+        )
         fetched = _checkpointed(enriched)
+        ovals = obs.get  # filled by the checkpoint materialization
+        if n_admitted is None:
+            n_admitted = ovals["n_rows"]
+        n_miss = ovals["n_miss"] or 0
+        n_items = ovals["n_items"] or 0
         clk.tick("fetch_ckpt")
         # join the state pipeline: wave k-1's seen/shards checkpoints and
         # this wave's densified blobs were computed while this wave
@@ -700,29 +722,17 @@ def crawl(
             F.lit(wave).alias("wave"),
         )
         # ---- outputs + state transition ----------------------------------
-        # Phase A — ONE concurrent phase: the new_frontier checkpoint
-        # (bloom probe + struct-min dedup — the only job that touches
-        # the fresh/blobs caches, so no cache-miss race) runs while the
-        # output counts scan the fetched checkpoint. werr and wave_items
+        # new_frontier is the only job here: the wave's counts were
+        # observed during the fetch checkpoint, and werr / wave_items
         # are one-hop projections of the fetched checkpoint —
         # re-materializing them would write every item's text to the
-        # block store a second time, so ckpt=False: they are accumulated
-        # lazily and only their counts run here.
-        (
-            (new_frontier, _, werr, wave_items),
-            (n_new, n_adm_ck, n_miss, n_items),
-        ) = _checkpoint_many(
-            [new_frontier, fetched, werr, wave_items],
-            posts=[
-                lambda d: d.count(),
-                (lambda d: d.count()) if n_admitted is None else None,
-                lambda d: d.filter(F.col("status") == "miss").count(),
-                lambda d: d.count(),
-            ],
-            ckpt=[True, False, False, False],
+        # block store a second time, so they are accumulated lazily.
+        # Its own count piggybacks as an observation too.
+        obs_nf = Observation()
+        new_frontier = _checkpointed(
+            new_frontier.observe(obs_nf, F.count(F.lit(1)).alias("n"))
         )
-        if n_admitted is None:
-            n_admitted = n_adm_ck  # cheap: scan of the checkpointed RDD
+        n_new = obs_nf.get["n"]
         errors_acc.add(werr)
         items_acc.add(wave_items)
         clk.tick("outputs_ckpt")
@@ -757,8 +767,11 @@ def crawl(
             )
             state_fut = state_ex.submit(_commit_state, seen2, shards2)
             frontier2 = deferred.unionByName(new_frontier).coalesce(n_part)
-        frontier = _checkpointed(frontier2)
-        pending = frontier.count()
+        obs_fr = Observation()
+        frontier = _checkpointed(
+            frontier2.observe(obs_fr, F.count(F.lit(1)).alias("n"))
+        )
+        pending = obs_fr.get["n"]
         clk.tick("frontier_ckpt")
 
         metrics.append(

@@ -192,3 +192,43 @@ def test_acc_collapse_bounds_plan_growth(spark):
     leaves = out._jdf.queryExecution().analyzed().toString().count("LogicalRDD")
     # 200/8 = 25 collapsed chunks + <8 tail branches, not 200
     assert leaves <= 33
+
+
+def test_observation_fires_under_local_checkpoint(spark):
+    """The wave loop piggybacks its per-wave counts on the checkpoint
+    action via observe() — zero extra jobs. That relies on
+    localCheckpoint materialization routing through the observed plan's
+    CollectMetrics node. Pin it (including the empty-input edge) so a
+    PySpark behavior change fails HERE, not as a wedged crawl waiting
+    on Observation.get."""
+    import threading
+
+    from pyspark.sql import Observation
+
+    from crawler_spark.engine.driver import _checkpointed
+
+    def observed_counts(df, *exprs, timeout=30.0):
+        obs = Observation()
+        _checkpointed(df.observe(obs, *exprs))
+        out: dict = {}
+        th = threading.Thread(target=lambda: out.update(obs.get))
+        th.start()
+        th.join(timeout=timeout)
+        assert out, "Observation never fired under localCheckpoint"
+        return out
+
+    got = observed_counts(
+        spark.range(1000),
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("id") % 2 == 0).cast("long")).alias("even"),
+    )
+    assert got == {"n": 1000, "even": 500}
+
+    # empty-but-partitioned (the exhausted-wave new_frontier shape):
+    # count must come back 0, sum None — never hang
+    got = observed_counts(
+        spark.range(1000).filter(F.col("id") < 0).coalesce(4),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("id")).alias("s"),
+    )
+    assert got["n"] == 0 and got["s"] is None
