@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "ann_brute_force_topk", "ann_ivf_label_cells", "ann_gemm_batch_topk",
     "robots_gate", "events_windowed_agg", "events_sessionize",
     "multimodal_features", "multimodal_decode",
+    "doc_stratified_sample", "doc_top_bigrams", "doc_length_histogram",
     "url_canonicalize", "frontier_dedup_antijoin",
     "politeness_admission",
 ]
@@ -69,8 +70,12 @@ BENCH_QUERIES = [
 # (wave 1 = all list pages, wave 2 = every detail page). A 10^10-URL
 # crawl admits millions of URLs per wave — the sandbox analogue is a
 # wave that carries minutes of fetch/parse work, not 5 waves of
-# per-wave scheduling barrier. 16k sections x 20 items = 320k details.
-CRAWL_SECTIONS = int(os.environ.get("BENCH_SECTIONS", "16000"))
+# per-wave scheduling barrier. 24k sections x 20 items = 480k details
+# (round 4: +50% over round 3 — the engine's serial per-wave overhead
+# dropped enough that SHORTER walls were latency-floor- and
+# ambient-noise-bound; longer walls keep the measurement in the
+# work-dominated regime).
+CRAWL_SECTIONS = int(os.environ.get("BENCH_SECTIONS", "24000"))
 CRAWL_ITEMS = int(os.environ.get("BENCH_ITEMS", "20"))
 CRAWL_PAGES = int(os.environ.get("BENCH_PAGES", "1"))  # pages per section
 # per-detail-page html size (text chunks): the per-page parse/extract

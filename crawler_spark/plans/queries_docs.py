@@ -138,6 +138,113 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", poly_hash_fast(F.col("text")).alias("fp")).orderBy("doc_id")
 
 
+@q(
+    "doc_stratified_sample",
+    """
+    SELECT doc_id, lang,
+           substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS sample_key
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+          < CASE WHEN lang = 'en' THEN '1999' ELSE '8000' END
+    ORDER BY doc_id
+    """,
+    "deterministic stratified sampling: per-language md5-threshold keep "
+    "rule (training-mix rebalancing; shuffle-free, resumable — no rand())",
+)
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample the dominant language to rebalance a training mix.
+
+    The keep decision is a pure function of doc_id (first 4 hex chars of
+    md5 compared against a per-stratum threshold: en 10%, others 50%),
+    so at 100 TB it is a shuffle-free scan-filter that yields the SAME
+    sample on re-run/resume — unlike rand()-based sampling, which is
+    neither reproducible across retries nor stable under AQE re-plans.
+    """
+    d = t(spark, sf_dir, "documents")
+    key = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    thr = F.when(F.col("lang") == "en", F.lit("1999")).otherwise(F.lit("8000"))
+    return (
+        d.select("doc_id", "lang", key.alias("sample_key"), thr.alias("_thr"))
+        .where(F.col("sample_key") < F.col("_thr"))
+        .drop("_thr")
+        .orderBy("doc_id")
+    )
+
+
+@q(
+    "doc_top_bigrams",
+    f"""
+    WITH tok AS (SELECT {SQL_TOKENS} AS ts FROM documents),
+    b AS (
+      SELECT unnest(CASE WHEN len(ts) < 2 THEN [] ELSE
+        list_transform(generate_series(1, len(ts) - 1),
+                       i -> ts[i] || ' ' || ts[i + 1]) END) AS bigram
+      FROM tok)
+    SELECT bigram, count(*) AS n_occurrences
+    FROM b GROUP BY bigram
+    ORDER BY n_occurrences DESC, bigram LIMIT 20
+    """,
+    "corpus n-gram statistics: top-k bigrams (map-side partial agg + "
+    "TakeOrderedAndProject top-k, never a global sort)",
+)
+def doc_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level bigram counts, top 20 by frequency.
+
+    The plan at scale: explode stays pipelined with the scan (no
+    pre-explode shuffle), the count groupBy does a map-side partial
+    aggregate on the bigram key, and the top-k is
+    TakeOrderedAndProject (per-partition partial top-k, driver merges
+    k rows per partition) — not a global sort. Tie-break on the bigram
+    string keeps the k-th boundary deterministic for grading.
+    """
+    d = t(spark, sf_dir, "documents")
+    ts = X.tokens(F.col("text")).alias("ts")
+    bigrams = F.when(
+        F.size("ts") < 2, F.array().cast("array<string>")
+    ).otherwise(
+        F.expr("transform(slice(ts, 1, size(ts) - 1),"
+               " (x, i) -> concat(x, ' ', ts[i + 1]))")
+    )
+    return (
+        d.select(ts)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+@q(
+    "doc_length_histogram",
+    f"""
+    SELECT lang,
+           least(CAST(floor(len({SQL_TOKENS}) / 25.0) AS BIGINT), 12) AS bucket,
+           count(*) AS n_docs,
+           min(len({SQL_TOKENS})) AS min_tokens,
+           max(len({SQL_TOKENS})) AS max_tokens
+    FROM documents
+    GROUP BY 1, 2 ORDER BY lang, bucket
+    """,
+    "token-length histogram per language (quality-filter calibration; "
+    "fixed-width buckets -> bounded output, map-side combine)",
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    n = X.token_count(F.col("text"))
+    bucket = F.least(F.floor(n / F.lit(25.0)).cast("long"), F.lit(12).cast("long"))
+    return (
+        d.select("lang", bucket.alias("bucket"), n.alias("n_tok"))
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_tok").cast("long").alias("min_tokens"),
+            F.max("n_tok").cast("long").alias("max_tokens"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
 # ===========================================================================
 # dedup families
 # ===========================================================================

@@ -108,7 +108,9 @@ def main() -> None:
 
     if not os.path.exists(f"{OUT}/documents.parquet"):
         build_corpus()
-    spark = get_spark(app_name="dedup-sf1", cores=32, shuffle_partitions=64)
+    cores = int(os.environ.get("SF1_CORES", "32"))
+    spark = get_spark(app_name="dedup-sf1", cores=cores,
+                      shuffle_partitions=2 * cores)
     qs, osql = E.queries(), E.oracle_sql()
     con = duckdb.connect()
     for t in ("documents", "embeddings"):
