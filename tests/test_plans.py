@@ -232,3 +232,30 @@ def test_observation_fires_under_local_checkpoint(spark):
         F.sum(F.col("id")).alias("s"),
     )
     assert got["n"] == 0 and got["s"] is None
+
+
+def test_top_bigrams_topk_is_take_ordered(spark):
+    """doc_top_bigrams' top-20 must plan as TakeOrderedAndProject over
+    the partial-aggregated counts — a global sort (range-partition
+    Exchange) of the full bigram table would shuffle every distinct
+    bigram at corpus scale just to keep 20 rows."""
+    import crawler_spark.plans.queries_docs  # noqa: F401  (registers)
+    from crawler_spark.plans.queries import QUERIES
+
+    df = QUERIES["doc_top_bigrams"].fn(spark, SF)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_stratified_sample_is_shuffle_free(spark):
+    """The md5-threshold sample must stay a scan+filter: no Exchange
+    below the final orderBy (the keep rule is a pure row-local
+    function of doc_id and lang)."""
+    import crawler_spark.plans.queries_docs  # noqa: F401  (registers)
+    from crawler_spark.plans.queries import QUERIES
+
+    df = QUERIES["doc_stratified_sample"].fn(spark, SF)
+    # strip the presentation orderBy: the operator itself is the filter
+    inner = df.drop("sample_key")._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in inner and "Aggregate" not in inner
