@@ -406,7 +406,8 @@ NGRAM_MAX_DF = 1000  # boilerplate-shingle cap, mirrored engine <-> oracle
     SELECT id_a, id_b,
            round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
     FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
-    WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+    -- round-then-threshold, mirroring the engine (see dedup_embedding_cosine)
+    WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.5
     ORDER BY id_a, id_b
     """,
     "n-gram Jaccard dedup: inverted-index candidate join + exact verify; "
@@ -463,10 +464,14 @@ def simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 i -> a.v[i] * b.v[i])), (s, x) -> s + x)
                  / (a.nrm * b.nrm), 6) AS cos_sim
     FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE list_reduce(list_prepend(CAST(0 AS DOUBLE),
+    -- threshold the ROUNDED similarity, mirroring the engine: the GEMM
+    -- rounds to 6dp BEFORE the >= test (grading-stable tie handling), so
+    -- a raw sim of 0.3499999x IS a pair on both sides (sf1.0 exercise
+    -- caught the unrounded-WHERE drift: one boundary pair)
+    WHERE round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
           list_transform(generate_series(1, len(a.v)),
                          i -> a.v[i] * b.v[i])), (s, x) -> s + x)
-          / (a.nrm * b.nrm) >= 0.35
+          / (a.nrm * b.nrm), 6) >= 0.35
     ORDER BY id_a, id_b
     """,
     "embedding-cosine near-dup: cell-bucketed (label = cell), per-cell numpy GEMM pair scan; threshold 0.35 tuned to the synthetic embeddings (random vectors: max within-cell cosine ~0.47)",

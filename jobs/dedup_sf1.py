@@ -99,6 +99,44 @@ def build_corpus() -> None:
           file=sys.stderr, flush=True)
 
 
+def _check_clusters_unionfind(con, sp) -> bool:
+    """Exact independent oracle for dedup_lsh_clusters at this scale.
+
+    The graded WITH RECURSIVE oracle materializes |component|^2 reach
+    rows per component — exact, and fine at the driver's sf0.01, but
+    >30 min of DuckDB at 50k docs. Same spec, linear instead: take the
+    DuckDB-computed pair list (the dedup_minhash_lsh_pairs oracle,
+    itself verified green in this run) at est_jaccard >= 0.5, union-find
+    the components in Python, label each vertex with its component min.
+    """
+    import __spark_entry__ as E
+
+    osql = E.oracle_sql()
+    pairs = con.execute(
+        f"SELECT id_a, id_b FROM ({osql['dedup_minhash_lsh_pairs']}) "
+        f"WHERE est_jaccard >= 0.5"
+    ).df()
+    verts = con.execute(
+        f"SELECT doc_id FROM ({osql['dedup_minhash_signatures']})"
+    ).df()["doc_id"].tolist()
+    parent = {v: v for v in verts}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # component min == find() root (union always keeps the smaller id)
+    expect = {v: find(v) for v in verts}
+    got = dict(zip(sp["doc_id"].astype(int), sp["cluster_id"].astype(int)))
+    return got == expect
+
+
 def main() -> None:
     import duckdb
     import numpy as np
@@ -109,8 +147,14 @@ def main() -> None:
     if not os.path.exists(f"{OUT}/documents.parquet"):
         build_corpus()
     cores = int(os.environ.get("SF1_CORES", "32"))
-    spark = get_spark(app_name="dedup-sf1", cores=cores,
-                      shuffle_partitions=2 * cores)
+    spark = get_spark(
+        app_name="dedup-sf1", cores=cores, shuffle_partitions=2 * cores,
+        # the corpus is two single parquet files (~6/9 MB); at the default
+        # 128 MB maxPartitionBytes each scan is ONE task. Split the scan so
+        # the walls measure the engine at `cores` slots — the honest
+        # analogue of the many-file layout a real corpus has.
+        extra_conf={"spark.sql.files.maxPartitionBytes": str(256 * 1024)},
+    )
     qs, osql = E.queries(), E.oracle_sql()
     con = duckdb.connect()
     for t in ("documents", "embeddings"):
@@ -121,6 +165,18 @@ def main() -> None:
         t0 = time.time()
         sp = qs[name](spark, OUT).toPandas()
         wall = time.time() - t0
+        if name == "dedup_lsh_clusters":
+            # the graded WITH RECURSIVE oracle is exact but O(|component|^2)
+            # rows in DuckDB — fine at the driver's sf0.01, >30 min at this
+            # scale. Here the independent oracle is a Python union-find over
+            # the (already DuckDB-verified) pair list: same spec, linear.
+            ok = _check_clusters_unionfind(con, sp)
+            rows.append((name, round(wall, 2), len(sp),
+                         "green" if ok else "MISMATCH"))
+            print(f"[sf1] {name}: {wall:.2f}s rows={len(sp)} "
+                  f"{'green' if ok else 'MISMATCH'} (union-find oracle)",
+                  file=sys.stderr, flush=True)
+            continue
         oc = con.execute(osql[name]).df()
         sp = sp.reindex(sorted(sp.columns), axis=1).sort_values(
             list(sp.columns)).reset_index(drop=True)
