@@ -425,3 +425,24 @@ def test_admit_under_budget_shortcut_matches_naive(spark):
     e = {r.url: r.admitted for r in want.collect()}
     assert g == e
     assert all(g[u] for u in g if u.startswith("https://big"))
+
+
+def test_embedding_cosine_rounds_before_threshold(spark):
+    """The near-dup contract is round(sim, 6) >= threshold — a raw cosine
+    of 0.3499996 IS a 0.35-threshold pair. The DuckDB oracle mirrors this
+    (round inside its WHERE); the sf1.0 exercise caught the drift where
+    the oracle thresholded the unrounded value and dropped the pair."""
+    import numpy as np
+
+    from crawler_spark.operators.dedup_docs import embedding_near_dups
+
+    c = 0.3499996  # rounds UP to the threshold
+    s = float(np.sqrt(1 - c * c))
+    rows = [
+        (1, [1.0] + [0.0] * 63, 7),
+        (2, [c, s] + [0.0] * 62, 7),
+        (3, [0.0, 0.0, 1.0] + [0.0] * 61, 7),  # orthogonal to both -> no pair
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = embedding_near_dups(e, threshold=0.35).collect()
+    assert [(r.id_a, r.id_b, r.cos_sim) for r in out] == [(1, 2, 0.35)]
