@@ -171,6 +171,9 @@ def _crawl_session(cores: int, app: str):
             "spark.speculation": "true",
             "spark.speculation.multiplier": "2",
             "spark.speculation.quantile": "0.75",
+            # only matters when CRAWLER_SPARK_CKPT_SER stores checkpoint
+            # blocks serialized: lz4 them (bandwidth for CPU)
+            "spark.rdd.compress": "true",
         },
     )
 
@@ -631,6 +634,11 @@ def _write_bench_md(r: dict, crawl_pairs: dict, parse_pairs: dict) -> None:
         "## Politeness salt skew defense (80%-one-host frontier)",
         "",
         f"```json\n{json.dumps(r['politeness_salt'], indent=2)}\n```",
+        "",
+        "sf1.0-scale dedup-cap exercise (LSH/df/cell caps engaging on "
+        "realistic bucket distributions, DuckDB-graded): see BASELINE.md "
+        "'Measured results (round 4)' — reproduce with "
+        "`python jobs/dedup_sf1.py`.",
         "",
         f"## Query timings at {r['sf']} (local[{CPUS}], noop sink, min of {QUERY_REPS})",
         "",

@@ -204,6 +204,21 @@ class _StepClock:
             print(f"[crawl:step] {label} (+{dt:.2f}s)", flush=True)
 
 
+# Serialized (lz4 when spark.rdd.compress=true) checkpoint blocks: the
+# fetch checkpoint writes ~GBs of parsed text per wave into the block
+# store; deserialized row blocks cost memory bandwidth that a single
+# box shares across all task slots, while serialization costs CPU that
+# scales with slots. Off by default (measured A/B gate in bench.py).
+_CKPT_LEVEL = None
+if os.environ.get("CRAWLER_SPARK_CKPT_SER"):
+    from pyspark import StorageLevel as _SL
+
+    # PySpark's MEMORY_AND_DISK constant is the serialized level (the
+    # JVM-side deserialized variant is MEMORY_AND_DISK_DESER, which is
+    # also localCheckpoint's default)
+    _CKPT_LEVEL = _SL.MEMORY_AND_DISK
+
+
 def _checkpointed(df: DataFrame) -> DataFrame:
     """Truncate lineage between waves — and RESET plan statistics.
 
@@ -217,7 +232,7 @@ def _checkpointed(df: DataFrame) -> DataFrame:
     over the checkpointed RDD (fresh LogicalRDD, default stats) keeps
     the estimate bounded. Stats on checkpointed state are useless for
     optimization anyway — we broadcast dimension tables explicitly."""
-    ck = df.localCheckpoint(eager=True)
+    ck = df.localCheckpoint(eager=True, storageLevel=_CKPT_LEVEL)
     spark = ck.sparkSession
     jdf = ck._jdf
     njdf = spark._jsparkSession.internalCreateDataFrame(
