@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "robots_gate", "events_windowed_agg", "events_sessionize",
     "multimodal_features", "multimodal_decode",
     "doc_stratified_sample", "doc_top_bigrams", "doc_length_histogram",
+    "doc_token_repetition", "doc_pii_scrub", "doc_decontaminate",
     "url_canonicalize", "frontier_dedup_antijoin",
     "politeness_admission",
 ]

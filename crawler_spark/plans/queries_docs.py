@@ -245,6 +245,194 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "doc_token_repetition",
+    f"""
+    WITH f AS (SELECT doc_id, {SQL_TOKENS} AS ts FROM documents),
+    g AS (
+      SELECT doc_id, ts,
+             CASE WHEN len(ts) < 2 THEN [] ELSE
+               list_transform(generate_series(1, len(ts) - 1),
+                              i -> ts[i] || ' ' || ts[i + 1]) END AS bs
+      FROM f),
+    m AS (
+      SELECT doc_id,
+             CAST(len(ts) AS BIGINT) AS n_tokens,
+             round(CASE WHEN len(ts) > 0 THEN
+               CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts) ELSE 0 END, 6)
+               AS distinct_frac,
+             round(CASE WHEN len(ts) > 0 THEN
+               CAST(list_max(list_transform(list_distinct(ts),
+                    x -> len(list_filter(ts, y -> y = x)))) AS DOUBLE) / len(ts)
+               ELSE 0 END, 6) AS top_token_frac,
+             round(CASE WHEN len(bs) > 0 THEN
+               1.0 - CAST(len(list_distinct(bs)) AS DOUBLE) / len(bs)
+               ELSE 0 END, 6) AS dup_bigram_frac
+      FROM g)
+    SELECT *, (distinct_frac >= 0.4 AND top_token_frac <= 0.15) AS keep
+    FROM m ORDER BY doc_id
+    """,
+    "repetition-removal quality filter (Gopher-style): distinct-token, "
+    "top-token and duplicate-bigram fractions + keep decision, shuffle-free",
+)
+def doc_token_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition metrics a-la Gopher's repetition filters.
+
+    Everything is computed with higher-order array functions over the
+    tokenized text (``array_distinct`` / ``filter`` / ``transform``), so
+    the plan is a pure scan+project with ZERO shuffles — at 100 TB this
+    is embarrassingly parallel map work, no exploded token table and no
+    per-token groupBy. The keep thresholds are applied to the 6dp-ROUNDED
+    fractions on both sides (oracle contract: threshold after rounding).
+    """
+    d = t(spark, sf_dir, "documents")
+    g = d.select("doc_id", X.tokens(F.col("text")).alias("ts")).select(
+        "doc_id", "ts",
+        F.when(F.size("ts") < 2, F.array().cast("array<string>")).otherwise(
+            F.expr("transform(slice(ts, 1, size(ts) - 1),"
+                   " (x, i) -> concat(x, ' ', ts[i + 1]))")
+        ).alias("bs"),
+    )
+    n = F.size("ts").cast("double")
+    nb = F.size("bs").cast("double")
+    top_cnt = F.array_max(
+        F.expr("transform(array_distinct(ts), x -> size(filter(ts, y -> y = x)))")
+    ).cast("double")
+    m = g.select(
+        "doc_id",
+        F.size("ts").cast("long").alias("n_tokens"),
+        F.round(F.when(n > 0, F.size(F.array_distinct("ts")) / n).otherwise(0.0), 6)
+         .alias("distinct_frac"),
+        F.round(F.when(n > 0, top_cnt / n).otherwise(0.0), 6).alias("top_token_frac"),
+        F.round(F.when(nb > 0, 1.0 - F.size(F.array_distinct("bs")) / nb)
+                 .otherwise(0.0), 6).alias("dup_bigram_frac"),
+    )
+    keep = (F.col("distinct_frac") >= 0.4) & (F.col("top_token_frac") <= 0.15)
+    return m.withColumn("keep", keep).orderBy("doc_id")
+
+
+_PII_EMAIL = "[a-z0-9._]+@[a-z0-9.]+"
+_PII_PHONE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+# deterministic PII planting (the synthetic corpus carries none): docs
+# 0 mod 5 get an email, 1 mod 5 a phone — derived from doc_id only, so
+# Spark and the oracle synthesize the identical augmented text
+_SQL_PII_AUG = (
+    "text || CASE WHEN doc_id % 5 = 0 THEN"
+    " ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com today'"
+    " WHEN doc_id % 5 = 1 THEN"
+    " ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now'"
+    " ELSE '' END"
+)
+
+
+@q(
+    "doc_pii_scrub",
+    f"""
+    WITH a AS (SELECT doc_id, {_SQL_PII_AUG} AS aug FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(aug, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(aug, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(regexp_replace(aug, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                              '{_PII_PHONE}', '<PHONE>', 'g')) AS scrubbed_md5
+    FROM a ORDER BY doc_id
+    """,
+    "PII detection + redaction (email/phone regex count, scrub to "
+    "placeholder tokens; C4/CCNet-style cleaning), shuffle-free scan",
+)
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detect and redact email/phone PII across the corpus.
+
+    Counting and redaction are JVM-side ``regexp_count`` /
+    ``regexp_replace`` (whole-stage codegen, no Python in the path), so
+    at 100 TB this is a shuffle-free scan — the same shape C4's and
+    CCNet's cleaning passes run at web scale. The corpus is synthetic
+    and PII-free, so the query first plants deterministic doc_id-derived
+    emails/phones (mirrored literally in the oracle SQL); the graded
+    comparison covers nonzero counts and the redacted-text md5.
+    """
+    d = t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(did % 5 == 0,
+               F.concat(F.lit(" contact user"), did.cast("string"),
+                        F.lit("@mail.example.com today")))
+         .when(did % 5 == 1,
+               F.concat(F.lit(" call 415-555-"),
+                        F.lpad((did % 10000).cast("string"), 4, "0"),
+                        F.lit(" now")))
+         .otherwise(F.lit("")),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(aug, _PII_EMAIL, "<EMAIL>"), _PII_PHONE, "<PHONE>")
+    return d.select(
+        "doc_id",
+        F.regexp_count(aug, F.lit(_PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(aug, F.lit(_PII_PHONE)).cast("long").alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    ).orderBy("doc_id")
+
+
+_DECON_K = 8  # shingle length: long enough that only real dup passages collide
+
+_SQL_DECON_SH = (
+    f"CASE WHEN len(ts) < {_DECON_K} THEN [] ELSE "
+    f"list_transform(generate_series(1, len(ts) - {_DECON_K - 1}), "
+    f"i -> array_to_string(ts[i:i+{_DECON_K - 1}], ' ')) END"
+)
+
+
+@q(
+    "doc_decontaminate",
+    f"""
+    WITH tok AS (SELECT doc_id, {SQL_TOKENS} AS ts FROM documents),
+    sh AS (SELECT doc_id, unnest({_SQL_DECON_SH}) AS sh FROM tok)
+    SELECT a.doc_id,
+           count(DISTINCT b.doc_id) AS n_eval_docs,
+           count(DISTINCT a.sh) AS n_shared_shingles
+    FROM sh a JOIN sh b USING (sh)
+    WHERE b.doc_id % 10 = 5 AND a.doc_id % 10 <> 5
+    GROUP BY a.doc_id ORDER BY a.doc_id
+    """,
+    "train/eval decontamination: 8-token-shingle overlap vs a held-out "
+    "eval slice, broadcast join (eval sets are tiny vs a 100 TB corpus)",
+)
+def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag training documents that leak a held-out eval slice.
+
+    The standard LLM decontamination pass (GPT-3 App. C / PaLM style):
+    a training doc is contaminated if it shares any K-token shingle
+    with an eval document. Eval slice = ``doc_id % 10 == 5`` here (a
+    deterministic stand-in for a benchmark set). At 100 TB the eval
+    side is tiny (benchmarks are MBs), so its distinct shingles are
+    BROADCAST and the whole pass is a shuffle-free map-side join over
+    the training scan — the only aggregation shuffles (doc_id, shingle)
+    pairs that actually hit, a vanishingly small fraction.
+    """
+    d = t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", X.tokens(F.col("text")).alias("ts"))
+    sh = tok.select(
+        "doc_id",
+        F.explode(F.expr(
+            f"CASE WHEN size(ts) < {_DECON_K} THEN array() ELSE "
+            f"transform(sequence(1, size(ts) - {_DECON_K - 1}), "
+            f"i -> array_join(slice(ts, i, {_DECON_K}), ' ')) END"
+        )).alias("sh"),
+    )
+    ev = sh.where(F.col("doc_id") % 10 == 5).select(
+        F.col("sh"), F.col("doc_id").alias("eval_id")).distinct()
+    train = sh.where(F.col("doc_id") % 10 != 5)
+    return (
+        train.join(F.broadcast(ev), "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("eval_id").alias("n_eval_docs"),
+            F.countDistinct("sh").alias("n_shared_shingles"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ===========================================================================
 # dedup families
 # ===========================================================================

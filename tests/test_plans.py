@@ -259,3 +259,31 @@ def test_stratified_sample_is_shuffle_free(spark):
     # strip the presentation orderBy: the operator itself is the filter
     inner = df.drop("sample_key")._jdf.queryExecution().optimizedPlan().toString()
     assert "Join" not in inner and "Aggregate" not in inner
+
+
+def test_repetition_and_pii_are_shuffle_free_jvm_side(spark):
+    """doc_token_repetition and doc_pii_scrub are per-row HOF/regex
+    work: the optimized plan below the presentation orderBy must carry
+    no Join/Aggregate, and no Python eval node may appear — at 100 TB
+    both are embarrassingly parallel codegen scans."""
+    import crawler_spark.plans.queries_docs  # noqa: F401  (registers)
+    from crawler_spark.plans.queries import QUERIES
+
+    for name in ("doc_token_repetition", "doc_pii_scrub"):
+        df = QUERIES[name].fn(spark, SF)
+        opt = _optimized(df)
+        assert "Join" not in opt and "Aggregate" not in opt, name
+        plan = _plan(df)
+        assert "EvalPython" not in plan, name
+
+
+def test_decontaminate_broadcasts_eval_shingles(spark):
+    """doc_decontaminate's train-vs-eval shingle join must be a
+    BroadcastHashJoin (eval slices are tiny vs the corpus); a
+    SortMergeJoin would shuffle every training shingle."""
+    import crawler_spark.plans.queries_docs  # noqa: F401  (registers)
+    from crawler_spark.plans.queries import QUERIES
+
+    plan = _plan(QUERIES["doc_decontaminate"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
