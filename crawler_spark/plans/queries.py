@@ -591,6 +591,24 @@ def events_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "events_stream_dedup",
+    """
+    SELECT DISTINCT user_id, event_type
+    FROM events ORDER BY user_id, event_type
+    """,
+    "streaming first-seen dedup: dropDuplicates keyed state across "
+    "micro-batches (maxFilesPerTrigger=1 over time-split files) — the "
+    "streaming form of the crawl's URL-seen admission gate; equals the "
+    "batch DISTINCT oracle only if cross-batch suppression is correct",
+)
+def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import first_seen_dedup_stream
+
+    out = first_seen_dedup_stream(spark, f"{sf_dir}/events.parquet")
+    return out.orderBy("user_id", "event_type")
+
+
+@q(
     "json_props_extract",
     """
     SELECT CAST(json_extract(props, '$.k') AS INT) % 10 AS k_bucket,

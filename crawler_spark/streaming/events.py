@@ -220,6 +220,77 @@ def sessionize_stream(
     )
 
 
+def first_seen_dedup_stream(
+    spark: SparkSession,
+    events_path: str,
+    n_splits: int = 4,
+) -> DataFrame:
+    """Streaming first-seen dedup: ``dropDuplicates`` keyed state carried
+    across micro-batches — the streaming analogue of the crawl's URL-seen
+    gate (a frontier fed as a stream admits each key exactly once, no
+    matter which micro-batch re-discovers it).
+
+    The static events parquet is split into ``n_splits`` time-ordered
+    files fed one per trigger (same mtime-pinned feed contract as
+    ``sessionize_stream``), so keys recurring in later batches MUST be
+    suppressed by cross-batch state for the result to equal the batch
+    ``SELECT DISTINCT`` oracle. Output is the key set only — which row
+    of a duplicate group wins is arrival-order-dependent and not part
+    of the dedup contract.
+
+    At web scale the state store would be bounded with
+    ``dropDuplicatesWithinWatermark`` (or the batch path's bloom +
+    anti-join seen-set, which IS this engine's frontier gate); the
+    unbounded form here matches the oracle's global-distinct semantics.
+    """
+    import shutil
+    import time as _time
+
+    name = f"dedup_events_{next(_counter)}"
+    src = spark.read.parquet(events_path).withColumn("_e", F.unix_timestamp("ts"))
+    d = tempfile.mkdtemp(prefix="stream_dedup_")
+    qs = [i / n_splits for i in range(1, n_splits)]
+    cuts = src.approxQuantile("_e", qs, 0.001) if n_splits > 1 else []
+    bounds = [None, *cuts, None]
+    for i in range(n_splits):
+        part = src
+        if bounds[i] is not None:
+            part = part.filter(F.col("_e") > F.lit(bounds[i]))
+        if bounds[i + 1] is not None:
+            part = part.filter(F.col("_e") <= F.lit(bounds[i + 1]))
+        part.drop("_e").coalesce(1).write.mode("overwrite").parquet(f"{d}/split_{i:03d}")
+    files_dir = f"{d}/feed"
+    os.makedirs(files_dir, exist_ok=True)
+    base = int(_time.time())
+    k = 0
+    for i in range(n_splits):
+        sd = f"{d}/split_{i:03d}"
+        for fn in sorted(os.listdir(sd)):
+            if fn.endswith(".parquet"):
+                os.symlink(os.path.join(sd, fn), f"{files_dir}/{i:03d}_{k:03d}.parquet")
+                os.utime(os.path.join(sd, fn), (base + k, base + k))
+                k += 1
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(files_dir)
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name).select("user_id", "event_type")
+    shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Gap-based sessionization (batch window form — the streaming
     equivalent is session_window): a new session starts when the gap
