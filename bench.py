@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "doc_token_repetition", "doc_pii_scrub", "doc_decontaminate",
     "url_canonicalize", "frontier_dedup_antijoin",
     "politeness_admission",
+    "events_asof_join", "events_interval_join", "doc_dup_kgram_windows",
 ]
 
 # fat-wave corpus: ONE list page per section so the crawl is 2 waves

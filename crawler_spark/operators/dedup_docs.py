@@ -336,3 +336,54 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
     return e.groupBy("cell").applyInPandas(
         cell_pairs, "id_a long, id_b long, cos_sim double"
     )
+
+
+def dup_kgram_windows(
+    docs: DataFrame, k: int = 10, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-substring dedup signal (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"): for every document,
+    count the k-token windows whose exact token sequence also appears in
+    at least one OTHER document.
+
+    Plan shape (all linear — no self-join exists in this family):
+      tokens -> transform(sequence) window grams -> explode ->
+      groupBy(gram) countDistinct(doc) -> semi-join back -> per-doc count.
+    Two keyed shuffles on the gram, each with map-side partial
+    aggregation. At 100-TB scale the shuffle key would be
+    xxhash64(gram) (8 bytes vs ~60) — kept as the raw string here so the
+    DuckDB oracle compares exactly, collision-free.
+    """
+    toks = X.tokens(F.col(text_col))
+    grams = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    exploded = docs.select(F.col(id_col), F.explode(grams).alias("g"))
+    dup_grams = (
+        exploded.groupBy("g")
+        .agg(F.count_distinct(id_col).alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+        .select("g")
+    )
+    per_doc = (
+        exploded.join(dup_grams, "g", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_dup_windows"))
+    )
+    base = docs.select(
+        F.col(id_col),
+        F.greatest(F.size(toks) - (k - 1), F.lit(0)).cast("long").alias("n_windows"),
+    )
+    return (
+        base.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_windows",
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+        )
+    )

@@ -671,3 +671,102 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp("window_start").alias("window_epoch"),
         "event_type", "n_events", "total_value",
     ).orderBy("window_epoch", "event_type")
+
+
+@q(
+    "events_asof_join",
+    """
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+    SELECT p.event_id AS purchase_id,
+           p.user_id AS user_id,
+           epoch_us(p.ts) AS purchase_us,
+           l.click_id AS click_id,
+           epoch_us(p.ts) - l.click_us AS gap_us
+    FROM p LEFT JOIN LATERAL (
+      SELECT c.event_id AS click_id, epoch_us(c.ts) AS click_us
+      FROM c
+      WHERE c.user_id = p.user_id AND c.ts < p.ts
+      ORDER BY c.ts DESC, c.event_id DESC LIMIT 1
+    ) l ON TRUE
+    ORDER BY purchase_id
+    """,
+    "AS-OF JOIN — an operator Spark lacks, composed as the union-window "
+    "plan (tag + union + one keyed shuffle + running last(ignorenulls)): "
+    "each purchase attaches the user's most recent strictly-prior click. "
+    "Oracle = DuckDB LATERAL nearest-prior probe. Strictness and the "
+    "max-(ts,event_id) tie-break are pinned on both sides; all time math "
+    "is exact 64-bit epoch micros (unix_micros vs epoch_us)",
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import asof_join
+
+    e = t(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("click_us"),
+    )
+    out = asof_join(
+        purchases, clicks, on=["user_id"], payload=["click_id", "click_us"],
+        tiebreak="click_id", strict=True,
+    )
+    return out.select(
+        "purchase_id",
+        "user_id",
+        F.col("left_ts_us").alias("purchase_us"),
+        F.col("asof_click_id").alias("click_id"),
+        (F.col("left_ts_us") - F.col("asof_click_us")).alias("gap_us"),
+    ).orderBy("purchase_id")
+
+
+@q(
+    "events_interval_join",
+    """
+    WITH e AS (SELECT event_id, ts FROM events WHERE event_type = 'error')
+    SELECT e.event_id AS error_id,
+           epoch_us(e.ts) AS error_us,
+           CAST(count(x.event_id) AS BIGINT) AS n_events_2min
+    FROM e LEFT JOIN events x
+      ON x.ts >= e.ts AND x.ts < e.ts + INTERVAL 120 SECOND
+         AND x.event_id <> e.event_id
+    GROUP BY 1, 2 ORDER BY 1
+    """,
+    "INTERVAL/RANGE JOIN via the bin trick — a raw time-range join "
+    "plans as BroadcastNestedLoopJoin (quadratic); quantizing to "
+    "width-sized bins + sequence-explode + equi-join on the bin keeps "
+    "it one keyed shuffle. Counts all other events inside each error's "
+    "[ts, ts+120s) window; oracle = DuckDB native inequality join",
+)
+def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import interval_join
+
+    e = t(spark, sf_dir, "events")
+    errors = e.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "ts"
+    )
+    points = e.select("event_id", "ts")
+    w_us = 120 * 1_000_000
+    matched = interval_join(
+        points, errors, point_ts="ts", start_ts="ts", width_us=w_us,
+        point_cols=["event_id"], interval_cols=["error_id"],
+    ).where(F.col("event_id") != F.col("error_id"))
+    counts = matched.groupBy("error_id").agg(
+        F.count("*").alias("n_events_2min")
+    )
+    return (
+        errors.select(
+            "error_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("error_us"),
+        )
+        .join(counts, "error_id", "left")
+        .select(
+            "error_id", "error_us",
+            F.coalesce("n_events_2min", F.lit(0)).alias("n_events_2min"),
+        )
+        .orderBy("error_id")
+    )

@@ -929,3 +929,35 @@ def crawl_wave_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
                     record_order=False, max_waves=60),
     )
     return res.items.orderBy("url")
+
+
+_KGRAM_K = 10
+
+@q(
+    "doc_dup_kgram_windows",
+    f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKENS} AS tk FROM documents),
+    grams AS (
+      SELECT doc_id, array_to_string(tk[i:i+{_KGRAM_K - 1}], ' ') AS g
+      FROM toks, UNNEST(range(1, len(tk) - {_KGRAM_K} + 2)) AS u(i)
+    ),
+    dup AS (SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+    per AS (
+      SELECT doc_id, count(*) AS n_dup_windows
+      FROM grams JOIN dup USING (g) GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(greatest(len(t.tk) - {_KGRAM_K - 1}, 0) AS BIGINT) AS n_windows,
+           CAST(coalesce(per.n_dup_windows, 0) AS BIGINT) AS n_dup_windows
+    FROM toks t LEFT JOIN per USING (doc_id) ORDER BY t.doc_id
+    """,
+    "exact-substring dedup (Lee et al. 2021): per-doc count of 10-token "
+    "windows whose exact token sequence recurs in another document — "
+    "transform(sequence)+explode grams, groupBy-countDistinct, semi-join "
+    "back; linear (no self-join) at any scale",
+)
+def doc_dup_kgram_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        DD.dup_kgram_windows(t(spark, sf_dir, "documents"), k=_KGRAM_K)
+        .orderBy("doc_id")
+    )

@@ -287,3 +287,43 @@ def test_decontaminate_broadcasts_eval_shingles(spark):
     plan = _plan(QUERIES["doc_decontaminate"].fn(spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_asof_join_is_union_window_no_join(spark):
+    """The as-of operator must compile to the union-window plan: zero
+    join operators and exactly ONE hash-partitioning Exchange (the key
+    shuffle feeding the Window). A per-left-row probe join (lateral /
+    nested-loop) would be quadratic at web scale."""
+    from crawler_spark.plans.queries import QUERIES
+
+    df = QUERIES["events_asof_join"].fn(spark, SF)
+    plan = _plan(df)
+    assert "Join" not in plan, plan
+    assert plan.lower().count("hashpartitioning") == 1, plan
+    assert "Window" in plan
+
+
+def test_interval_join_is_equi_bin_not_nested_loop(spark):
+    """The range join must go through the bin-key equi-join — a raw
+    time-inequality join plans as BroadcastNestedLoopJoin, which is the
+    quadratic scale-killer this operator exists to avoid."""
+    from crawler_spark.plans.queries import QUERIES
+
+    df = QUERIES["events_interval_join"].fn(spark, SF)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "_bin" in plan  # the quantized equi key is the join key
+
+
+def test_dup_kgram_has_no_self_join_on_docs(spark):
+    """Exact-substring dedup must stay linear: gram aggregation + semi
+    join. No cartesian/nested-loop operator may appear — the family
+    has no all-pairs stage by construction."""
+    import crawler_spark.plans.queries_docs  # noqa: F401  (registers)
+    from crawler_spark.plans.queries import QUERIES
+
+    df = QUERIES["doc_dup_kgram_windows"].fn(spark, SF)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
