@@ -770,3 +770,70 @@ def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("error_id")
     )
+
+
+@q(
+    "events_sliding_window",
+    """
+    WITH w AS (
+      SELECT event_type, value,
+             unnest([CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 - 1800,
+                     CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800]) AS window_epoch
+      FROM events
+    )
+    SELECT window_epoch, event_type,
+           count(*) AS n_events,
+           round(sum(value), 6) AS total_value
+    FROM w GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "SLIDING (hopping) window aggregation — 1h windows every 30min, each "
+    "event lands in two overlapping windows; Spark's window(ts, len, "
+    "slide) vs an oracle that materializes both epoch-aligned starts "
+    "per event",
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_epoch"),
+            "event_type", "n_events", "total_value",
+        )
+        .orderBy("window_epoch", "event_type")
+    )
+
+
+@q(
+    "events_stream_stream_join",
+    """
+    WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+         p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT c.user_id AS user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           epoch_us(c.ts) AS click_us,
+           epoch_us(p.ts) AS purchase_us,
+           epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+    FROM c JOIN p
+      ON p.user_id = c.user_id
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 24 HOUR
+    ORDER BY click_id, purchase_id
+    """,
+    "STREAM-STREAM inner join with watermark-bounded state: clicks and "
+    "purchases arrive as separate streaming sources over a time-split "
+    "feed (one file per trigger), matches span micro-batches through "
+    "the join state store; must equal the batch inequality-join oracle",
+)
+def events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import click_purchase_join_stream
+
+    out = click_purchase_join_stream(
+        spark, f"{sf_dir}/events.parquet", window_hours=24
+    )
+    return out.orderBy("click_id", "purchase_id")

@@ -34,6 +34,51 @@ EVENTS_SCHEMA = T.StructType(
 _counter = itertools.count()
 
 
+def _time_split_feed(
+    spark: SparkSession, events_path: str, n_splits: int, prefix: str
+) -> tuple[str, str]:
+    """Split a static events parquet into ``n_splits`` time-ordered files
+    under a feed directory with STRICTLY INCREASING mtimes, so Spark's
+    FileStreamSource (which orders new files by modification time, not
+    path) delivers micro-batches in event-time order. Returns
+    (feed_dir, root_dir) — callers own cleanup of root_dir."""
+    import time as _time
+
+    src = spark.read.parquet(events_path).withColumn(
+        "_e", F.unix_timestamp("ts")
+    )
+    d = tempfile.mkdtemp(prefix=prefix)
+    qs = [i / n_splits for i in range(1, n_splits)]
+    cuts = src.approxQuantile("_e", qs, 0.001) if n_splits > 1 else []
+    bounds = [None, *cuts, None]
+    for i in range(n_splits):
+        part = src
+        if bounds[i] is not None:
+            part = part.filter(F.col("_e") > F.lit(bounds[i]))
+        if bounds[i + 1] is not None:
+            part = part.filter(F.col("_e") <= F.lit(bounds[i + 1]))
+        part.drop("_e").coalesce(1).write.mode("overwrite").parquet(
+            f"{d}/split_{i:03d}"
+        )
+    files_dir = f"{d}/feed"
+    os.makedirs(files_dir, exist_ok=True)
+    base = int(_time.time())
+    k = 0
+    for i in range(n_splits):
+        sd = f"{d}/split_{i:03d}"
+        for fn in sorted(os.listdir(sd)):
+            if fn.endswith(".parquet"):
+                os.symlink(
+                    os.path.join(sd, fn), f"{files_dir}/{i:03d}_{k:03d}.parquet"
+                )
+                # utime follows the symlink to the target, which is what
+                # the source stats; a write-order mtime tie would
+                # reorder micro-batches silently
+                os.utime(os.path.join(sd, fn), (base + k, base + k))
+                k += 1
+    return files_dir, d
+
+
 def windowed_event_counts_stream(spark: SparkSession, events_path: str) -> DataFrame:
     """Tumbling 1-hour window per event_type via a real streaming query
     (file source → availableNow → memory sink), returned as the final
@@ -121,43 +166,9 @@ def sessionize_stream(
     name = f"sess_events_{next(_counter)}"
     gap = gap_minutes * 60
 
-    # ---- split the input into time-ordered files (one per trigger) ----
-    # (approxQuantile needs a numeric column — use the epoch)
-    src = spark.read.parquet(events_path).withColumn(
-        "_e", F.unix_timestamp("ts")
-    )
-    d = tempfile.mkdtemp(prefix="stream_sess_")
-    qs = [i / n_splits for i in range(1, n_splits)]
-    cuts = src.approxQuantile("_e", qs, 0.001) if n_splits > 1 else []
-    bounds = [None, *cuts, None]
-    for i in range(n_splits):
-        part = src
-        if bounds[i] is not None:
-            part = part.filter(F.col("_e") > F.lit(bounds[i]))
-        if bounds[i + 1] is not None:
-            part = part.filter(F.col("_e") <= F.lit(bounds[i + 1]))
-        part = part.drop("_e")
-        part.coalesce(1).write.mode("overwrite").parquet(f"{d}/split_{i:03d}")
-    files_dir = f"{d}/feed"
-    os.makedirs(files_dir, exist_ok=True)
-    # ordering contract: Spark's FileStreamSource orders new files by
-    # MODIFICATION TIME (not path), so arrival order == time order only
-    # if mtimes increase strictly in split order — set them explicitly
-    # (a write-order tie would otherwise reorder micro-batches and
-    # silently corrupt cross-batch sessionization). utime follows the
-    # symlink to the target, which is what the source stats.
-    import time as _time
-
-    base = int(_time.time())
-    k = 0
-    for i in range(n_splits):
-        sd = f"{d}/split_{i:03d}"
-        for fn in sorted(os.listdir(sd)):
-            if fn.endswith(".parquet"):
-                link = f"{files_dir}/{i:03d}_{k:03d}.parquet"
-                os.symlink(os.path.join(sd, fn), link)
-                os.utime(os.path.join(sd, fn), (base + k, base + k))
-                k += 1
+    # split the input into time-ordered files, one per trigger (the
+    # mtime-ordering contract lives in _time_split_feed)
+    files_dir, _ = _time_split_feed(spark, events_path, n_splits, "stream_sess_")
 
     def update(key, pdfs, state):
         (user_id,) = key
@@ -244,32 +255,9 @@ def first_seen_dedup_stream(
     unbounded form here matches the oracle's global-distinct semantics.
     """
     import shutil
-    import time as _time
 
     name = f"dedup_events_{next(_counter)}"
-    src = spark.read.parquet(events_path).withColumn("_e", F.unix_timestamp("ts"))
-    d = tempfile.mkdtemp(prefix="stream_dedup_")
-    qs = [i / n_splits for i in range(1, n_splits)]
-    cuts = src.approxQuantile("_e", qs, 0.001) if n_splits > 1 else []
-    bounds = [None, *cuts, None]
-    for i in range(n_splits):
-        part = src
-        if bounds[i] is not None:
-            part = part.filter(F.col("_e") > F.lit(bounds[i]))
-        if bounds[i + 1] is not None:
-            part = part.filter(F.col("_e") <= F.lit(bounds[i + 1]))
-        part.drop("_e").coalesce(1).write.mode("overwrite").parquet(f"{d}/split_{i:03d}")
-    files_dir = f"{d}/feed"
-    os.makedirs(files_dir, exist_ok=True)
-    base = int(_time.time())
-    k = 0
-    for i in range(n_splits):
-        sd = f"{d}/split_{i:03d}"
-        for fn in sorted(os.listdir(sd)):
-            if fn.endswith(".parquet"):
-                os.symlink(os.path.join(sd, fn), f"{files_dir}/{i:03d}_{k:03d}.parquet")
-                os.utime(os.path.join(sd, fn), (base + k, base + k))
-                k += 1
+    files_dir, d = _time_split_feed(spark, events_path, n_splits, "stream_dedup_")
 
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)
@@ -312,4 +300,70 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         F.count("*").alias("n_events"),
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
+    )
+
+
+def click_purchase_join_stream(
+    spark: SparkSession,
+    events_path: str,
+    window_hours: int = 24,
+    n_splits: int = 4,
+) -> DataFrame:
+    """STREAM-STREAM inner join with a time-range condition: each click
+    pairs with the same user's purchases occurring within the following
+    ``window_hours``. Both sides are genuine streaming sources over the
+    same time-split feed (one file per trigger), so matches MUST span
+    micro-batches — a click buffered in join state in batch 0 meets its
+    purchase arriving in batch 3 — which is exactly what the batch
+    inequality-join oracle verifies.
+
+    Watermarks bound the join state: a click can be evicted once the
+    event-time watermark passes click.ts + window (Spark derives the
+    state-eviction bound from the join's time condition). The delay is
+    window + 1h of disorder slack; the feed is time-ordered (mtime
+    contract in _time_split_feed), so eviction never races a live match
+    and the availableNow result is complete — at web scale the delay is
+    the feed's real out-of-orderness bound, traded against state size.
+    """
+    name = f"ssjoin_events_{next(_counter)}"
+    files_dir, _ = _time_split_feed(spark, events_path, n_splits, "stream_ssjoin_")
+    delay = f"{window_hours + 1} hours"
+
+    def side(event_type: str, pfx: str) -> DataFrame:
+        return (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(files_dir)
+            .where(F.col("event_type") == event_type)
+            .select(
+                F.col("user_id").alias(f"{pfx}_user"),
+                F.col("event_id").alias(f"{pfx}_id"),
+                F.col("ts").alias(f"{pfx}_ts"),
+            )
+            .withWatermark(f"{pfx}_ts", delay)
+        )
+
+    clicks, purchases = side("click", "c"), side("purchase", "p")
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {window_hours} HOURS")),
+        "inner",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("c_user").alias("user_id"),
+        F.col("c_id").alias("click_id"),
+        F.col("p_id").alias("purchase_id"),
+        F.unix_micros("c_ts").alias("click_us"),
+        F.unix_micros("p_ts").alias("purchase_us"),
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
     )
