@@ -66,7 +66,7 @@ BENCH_QUERIES = [
     "url_canonicalize", "frontier_dedup_antijoin",
     "politeness_admission",
     "events_asof_join", "events_interval_join", "doc_dup_kgram_windows",
-    "events_sliding_window",
+    "events_sliding_window", "orders_status_cube", "doc_mix_rebalance",
 ]
 
 # fat-wave corpus: ONE list page per section so the crawl is 2 waves

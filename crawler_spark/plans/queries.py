@@ -837,3 +837,39 @@ def events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, f"{sf_dir}/events.parquet", window_hours=24
     )
     return out.orderBy("click_id", "purchase_id")
+
+
+@q(
+    "orders_status_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT)
+             AS grouping_id,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 4) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY grouping_id, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    "CUBE aggregation (all 4 grouping sets in one pass + grouping_id) — "
+    "completes the multi-dimensional agg family next to rollup/pivot",
+)
+def orders_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id("o_orderstatus", "o_orderpriority").alias("grouping_id"),
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        )
+        .select(
+            "o_orderstatus", "o_orderpriority",
+            "grouping_id", "n_orders", "total_price",
+        )
+        .orderBy(
+            "grouping_id",
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )

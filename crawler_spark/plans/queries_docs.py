@@ -961,3 +961,49 @@ def doc_dup_kgram_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         DD.dup_kgram_windows(t(spark, sf_dir, "documents"), k=_KGRAM_K)
         .orderBy("doc_id")
     )
+
+
+@q(
+    "doc_mix_rebalance",
+    """
+    WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    m AS (SELECT min(n) AS m FROM counts),
+    ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk
+    FROM ranked, m WHERE rk <= m.m
+    ORDER BY lang, rk
+    """,
+    "training-mix rebalancing (Dolma/RedPajama-style source mixer): "
+    "downsample every language to the smallest group's count with a "
+    "deterministic md5-rank draw — per-group counts land EXACTLY, no "
+    "probabilistic wobble; the rank window is the only shuffle. At "
+    "100 TB the exact rank becomes a per-group md5-threshold cut "
+    "(approxQuantile of the hash), trading exactness for no hot-group "
+    "single-partition sort",
+)
+def doc_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").count()
+    counts = counts.withColumn(
+        "m", F.min("count").over(Window.partitionBy(F.lit(1)))
+    ).select("lang", "m")
+    ranked = docs.join(F.broadcast(counts), "lang").withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("lang").orderBy(
+                F.md5(F.col("doc_id").cast("string")), "doc_id"
+            )
+        ),
+    )
+    return (
+        ranked.where(F.col("rk") <= F.col("m"))
+        .select("doc_id", "lang", F.col("rk").cast("long").alias("rk"))
+        .orderBy("lang", "rk")
+    )
