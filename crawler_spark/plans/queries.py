@@ -873,3 +873,65 @@ def orders_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority").asc_nulls_first(),
         )
     )
+
+
+@q(
+    "events_value_percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6)  AS p50,
+           round(quantile_cont(value, 0.95), 6) AS p95,
+           round(quantile_cont(value, 0.99), 6) AS p99,
+           count(*) AS n
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "ordered-set aggregates: exact interpolated percentiles per group "
+    "(Spark percentile == DuckDB quantile_cont, both linear "
+    "interpolation). At 100 TB the exact form ships per-group sorted "
+    "buffers through the agg; approx_percentile (t-digest-style, "
+    "mergeable map-side) is the scale path when 1e-4 error is fine",
+)
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    pct = F.percentile("value", F.lit([0.5, 0.95, 0.99]))
+    return (
+        e.groupBy("event_type")
+        .agg(pct.alias("p"), F.count("*").alias("n"))
+        .select(
+            "event_type",
+            F.round(F.col("p")[0], 6).alias("p50"),
+            F.round(F.col("p")[1], 6).alias("p95"),
+            F.round(F.col("p")[2], 6).alias("p99"),
+            "n",
+        )
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "events_user_set_ops",
+    """
+    SELECT user_id FROM (
+      SELECT user_id FROM events WHERE event_type = 'click'
+      INTERSECT
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+      EXCEPT
+      SELECT user_id FROM events WHERE event_type = 'error'
+               GROUP BY user_id HAVING count(*) > 13
+    ) ORDER BY user_id
+    """,
+    "set operators: INTERSECT + EXCEPT (users who clicked AND purchased, "
+    "minus heavy error-ers) — distributed as hash-partitioned distinct "
+    "set-op joins, the §2.3 set-ops line beyond the wave loop's union",
+)
+def events_user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    def u(tpe): return e.where(F.col("event_type") == tpe).select("user_id")
+    heavy_err = (
+        u("error").groupBy("user_id").count()
+        .where(F.col("count") > 13).select("user_id")
+    )
+    return (
+        u("click").intersect(u("purchase")).exceptAll(heavy_err)
+        .orderBy("user_id")
+    )
