@@ -28,7 +28,7 @@ OUT = "/tmp/sf1_dedup"
 DEDUP_QUERIES = [
     "dedup_exact_md5", "dedup_minhash_signatures", "dedup_minhash_lsh_pairs",
     "dedup_ngram_jaccard", "dedup_simhash", "dedup_embedding_cosine",
-    "dedup_lsh_clusters",
+    "dedup_lsh_clusters", "doc_dup_kgram_windows",
 ]
 
 BOILER = ("all rights reserved contact us for terms of service and "
@@ -160,8 +160,10 @@ def main() -> None:
     for t in ("documents", "embeddings"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{OUT}/{t}.parquet'")
 
+    only = os.environ.get("SF1_ONLY")
+    names = [only] if only else DEDUP_QUERIES
     rows = []
-    for name in DEDUP_QUERIES:
+    for name in names:
         t0 = time.time()
         sp = qs[name](spark, OUT).toPandas()
         wall = time.time() - t0
