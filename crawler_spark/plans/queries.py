@@ -935,3 +935,41 @@ def events_user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         u("click").intersect(u("purchase")).exceptAll(heavy_err)
         .orderBy("user_id")
     )
+
+
+@q(
+    "events_stream_lakestore_sink",
+    """
+    SELECT event_type, count(*) AS n,
+           round(sum(value), 6) AS total_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "streaming EXACTLY-ONCE sink: foreachBatch + idempotent "
+    "LakeStore.append keyed by micro-batch id (replays overwrite, never "
+    "duplicate) — the table read back from the durable store must carry "
+    "every event exactly once across all micro-batches for the per-type "
+    "counts to equal the batch oracle",
+)
+def events_stream_lakestore_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..state.lakestore import LakeStore
+    from ..streaming.events import stream_append_lakestore
+
+    root = tempfile.mkdtemp(prefix="lakesink_")
+    try:
+        out, _ = stream_append_lakestore(
+            spark, f"{sf_dir}/events.parquet", LakeStore(root)
+        )
+        return (
+            out.groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.sum("value"), 6).alias("total_value"),
+            )
+            .orderBy("event_type")
+            .localCheckpoint()  # materialize before the store dir is deleted
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

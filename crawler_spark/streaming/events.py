@@ -367,3 +367,39 @@ def click_purchase_join_stream(
         F.unix_micros("p_ts").alias("purchase_us"),
         (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
     )
+
+
+def stream_append_lakestore(
+    spark: SparkSession,
+    events_path: str,
+    store,
+    table: str = "events_sink",
+    n_splits: int = 4,
+):
+    """Streaming sink into the durable LakeStore with EXACTLY-ONCE
+    effective semantics: ``foreachBatch`` delivers each micro-batch
+    at-least-once, and ``LakeStore.append`` keyed by the micro-batch id
+    makes replays idempotent (same commit_id -> same directory
+    overwritten, manifest entry deduplicated) — the canonical
+    Structured-Streaming transactional-sink pattern, and the streaming
+    twin of the wave loop's idempotent commit replay (state/lakestore.py).
+
+    Returns (final DataFrame read back from the store, commit ids).
+    """
+    files_dir, _ = _time_split_feed(spark, events_path, n_splits, "stream_sink_")
+    ckpt = tempfile.mkdtemp(prefix="stream_sink_ckpt_")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        store.append(batch_df, table, f"batch_{batch_id:06d}")
+
+    q = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(files_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return store.read(spark, table), store.commits(table)

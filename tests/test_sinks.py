@@ -42,3 +42,30 @@ def test_partitioned_sink_layout_and_pruning(spark, tmp_path):
     assert back.count() == 3
     # partition pruning: a (source, date) filter must hit one directory
     assert back.filter("source = 'a.local' AND publish_date = DATE '2024-06-01'").count() == 1
+
+
+def test_stream_lakestore_sink_exactly_once(spark, tmp_path):
+    """foreachBatch + idempotent commit-id append = effective
+    exactly-once: the store equals the batch source, one commit per
+    micro-batch, and replaying a batch's append (the at-least-once
+    failure mode) must not duplicate rows."""
+    from crawler_spark.state.lakestore import LakeStore
+    from crawler_spark.streaming.events import stream_append_lakestore
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    store = LakeStore(str(tmp_path / "lake"))
+    out, commits = stream_append_lakestore(spark, src, store, n_splits=4)
+    n_src = spark.read.parquet(src).count()
+    assert out.count() == n_src
+    assert len(commits) == 4 and commits == sorted(commits)
+
+    # simulate a foreachBatch replay: re-append the SAME micro-batch
+    # under the SAME commit id (the at-least-once failure mode)
+    import os
+    last_dir = os.path.join(store.root, "events_sink", commits[-1])
+    replay = spark.read.parquet(last_dir).localCheckpoint()
+    store.append(replay, "events_sink", commits[-1])
+    assert store.commits("events_sink") == commits  # manifest unchanged
+    back = store.read(spark, "events_sink")
+    assert back.count() == n_src  # replaced, not appended twice
+    assert back.dropDuplicates(["event_id"]).count() == n_src
