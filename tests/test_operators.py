@@ -446,3 +446,65 @@ def test_embedding_cosine_rounds_before_threshold(spark):
     e = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
     out = embedding_near_dups(e, threshold=0.35).collect()
     assert [(r.id_a, r.id_b, r.cos_sim) for r in out] == [(1, 2, 0.35)]
+
+
+def test_asof_join_edge_semantics(spark):
+    """Pin the as-of contract on handcrafted rows: strict excludes a
+    right row at the exact same timestamp; inclusive takes it; ties
+    among right rows at the same ts resolve to the greatest tiebreak;
+    a left row before any right row gets nulls."""
+    import datetime as dt
+
+    from crawler_spark.operators.temporal import asof_join
+
+    def ts(s):
+        return dt.datetime(2024, 1, 1, 0, 0, s)
+
+    left = spark.createDataFrame(
+        [(1, ts(5)), (2, ts(10)), (3, ts(1))], "lid int, ts timestamp"
+    ).withColumn("user", F.lit(7))
+    # rights: two at ts=5 (tie), one at ts=9
+    right = spark.createDataFrame(
+        [(100, ts(5)), (101, ts(5)), (102, ts(9))], "rid int, ts timestamp"
+    ).withColumn("user", F.lit(7))
+
+    strict = {
+        r["lid"]: r["asof_rid"]
+        for r in asof_join(left, right, on=["user"], payload=["rid"]).collect()
+    }
+    # lid=1 at ts=5: same-ts rights EXCLUDED under strict -> no prior
+    assert strict == {1: None, 2: 102, 3: None}
+
+    incl = {
+        r["lid"]: r["asof_rid"]
+        for r in asof_join(
+            left, right, on=["user"], payload=["rid"], strict=False
+        ).collect()
+    }
+    # lid=1 now matches the ts=5 pair; tie -> greatest rid (101)
+    assert incl == {1: 101, 2: 102, 3: None}
+
+
+def test_interval_join_boundaries(spark):
+    """[start, end) boundaries exact in integer micros: a point at
+    start matches, a point at start+width does not."""
+    import datetime as dt
+
+    from crawler_spark.operators.temporal import interval_join
+
+    def ts(s, us=0):
+        return dt.datetime(2024, 1, 1, 0, 0, s, us)
+
+    points = spark.createDataFrame(
+        [(1, ts(10)), (2, ts(11, 999999)), (3, ts(12)), (4, ts(9, 999999))],
+        "pid int, ts timestamp",
+    )
+    intervals = spark.createDataFrame([(100, ts(10))], "iid int, ts timestamp")
+    got = sorted(
+        r["pid"]
+        for r in interval_join(
+            points, intervals, point_ts="ts", start_ts="ts",
+            width_us=2_000_000, point_cols=["pid"], interval_cols=["iid"],
+        ).collect()
+    )
+    assert got == [1, 2]  # 10.000000 and 11.999999 in; 12.000000 and 9.999999 out
