@@ -55,6 +55,7 @@ def asof_join(
     payload: Sequence[str] = (),
     tiebreak: str | None = None,
     strict: bool = True,
+    tolerance_us: int | None = None,
 ) -> DataFrame:
     """For each left row, attach the most recent prior right row per key.
 
@@ -62,7 +63,9 @@ def asof_join(
     timestamp does NOT match); strict=False allows equality. Ties among
     right rows at the same timestamp resolve to the greatest
     ``tiebreak`` value — deterministic, mirrored by the oracle's
-    ``ORDER BY ts DESC, tiebreak DESC LIMIT 1``.
+    ``ORDER BY ts DESC, tiebreak DESC LIMIT 1``. ``tolerance_us``
+    (pandas merge_asof parity) turns a match older than the tolerance
+    into a non-match — nulls, exactly as if no prior row existed.
 
     Returns all left columns plus ``left_ts_us`` (the left timestamp in
     epoch micros) and ``asof_<c>`` for each right payload column (null
@@ -83,7 +86,12 @@ def asof_join(
     l_side, r_side = (0, 1) if strict else (1, 0)
 
     left_cols = [c for c in left.columns]
-    r_pay = F.struct(*[F.col(c).alias(c) for c in payload])
+    # the right timestamp rides inside the payload struct so the
+    # tolerance check (and callers wanting asof_ts_us) need no re-join
+    r_pay = F.struct(
+        ts_us(F.col(right_ts)).alias("_rts"),
+        *[F.col(c).alias(c) for c in payload],
+    )
     r_tagged = right.select(
         *on,
         ts_us(F.col(right_ts)).alias("_t_us"),
@@ -114,9 +122,18 @@ def asof_join(
         .withColumn("_asof", F.last("_pay", ignorenulls=True).over(w))
         .where(F.col("_lpay").isNotNull())
     )
+    if tolerance_us is not None:
+        carried = carried.withColumn(
+            "_asof",
+            F.when(
+                F.col("_t_us") - F.col("_asof")["_rts"] <= F.lit(tolerance_us),
+                F.col("_asof"),
+            ),  # else null — too old to count as a match
+        )
     return carried.select(
         *[F.col("_lpay")[c].alias(c) for c in left_cols],
         F.col("_t_us").alias("left_ts_us"),
+        F.col("_asof")["_rts"].alias("asof_ts_us"),
         *[F.col("_asof")[c].alias(f"asof_{c}") for c in payload],
     )
 

@@ -508,3 +508,32 @@ def test_interval_join_boundaries(spark):
         ).collect()
     )
     assert got == [1, 2]  # 10.000000 and 11.999999 in; 12.000000 and 9.999999 out
+
+
+def test_asof_join_tolerance(spark):
+    """tolerance_us (merge_asof parity): a prior match older than the
+    tolerance becomes a NON-match (nulls), and asof_ts_us reports the
+    matched right timestamp when within tolerance."""
+    import datetime as dt
+
+    from crawler_spark.operators.temporal import asof_join
+
+    def ts(s):
+        return dt.datetime(2024, 1, 1, 0, 0, s)
+
+    left = spark.createDataFrame(
+        [(1, ts(10)), (2, ts(30))], "lid int, ts timestamp"
+    ).withColumn("user", F.lit(7))
+    right = spark.createDataFrame(
+        [(100, ts(8))], "rid int, ts timestamp"
+    ).withColumn("user", F.lit(7))
+
+    rows = {
+        r["lid"]: (r["asof_rid"], r["asof_ts_us"])
+        for r in asof_join(
+            left, right, on=["user"], payload=["rid"],
+            tolerance_us=5_000_000,
+        ).collect()
+    }
+    assert rows[1][0] == 100 and rows[1][1] is not None  # 2s gap, in
+    assert rows[2] == (None, None)                       # 22s gap, out
