@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "events_asof_join", "events_interval_join", "doc_dup_kgram_windows",
     "events_sliding_window", "orders_status_cube", "doc_mix_rebalance",
     "events_value_percentiles", "events_user_set_ops",
+    "docs_link_pagerank", "events_distinct_kmv", "events_funnel_conversion",
 ]
 
 # fat-wave corpus: ONE list page per section so the crawl is 2 waves

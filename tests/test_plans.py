@@ -327,3 +327,28 @@ def test_dup_kgram_has_no_self_join_on_docs(spark):
     plan = _plan(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_kmv_sketch_is_take_ordered(spark):
+    """The k-smallest-hash pass of the KMV sketch must plan as
+    TakeOrderedAndProject (per-partition partial top-k) — a global sort
+    of all distinct hashes defeats the point of a sketch at 10^10
+    keys."""
+    from crawler_spark.plans.queries_graph import events_distinct_kmv
+
+    plan = _plan(events_distinct_kmv(spark, "/root/testdata/sf0.001"))
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_pagerank_no_nested_loop_joins(spark):
+    """Every per-iteration join in the PageRank plan must be an
+    equi-join (broadcast or shuffled hash/SMJ on src/dst) — a
+    BroadcastNestedLoopJoin/CartesianProduct anywhere means an O(N·E)
+    stage that cannot survive a real graph."""
+    from crawler_spark.plans.queries_graph import docs_link_pagerank
+
+    plan = _plan(docs_link_pagerank(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
