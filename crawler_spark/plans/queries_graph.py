@@ -125,9 +125,11 @@ def docs_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    # At cluster scale: persist ew bucketed by src so each iteration's join
-    # is co-partitioned and only the N-row rank vector moves.
-    ew = edges.join(deg, "src")
+    # The edge+degree table is read once per iteration: persist it so the
+    # deg groupBy runs once, not five times. At cluster scale the same
+    # table is bucketed by src so each iteration's join is co-partitioned
+    # and only the N-row rank vector moves.
+    ew = edges.join(deg, "src").persist()
 
     base = PR_SCALE * 15 // 100 // n
     ranks = nodes.select("id", F.lit(PR_SCALE // n).alias("r"))
