@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "events_sliding_window", "orders_status_cube", "doc_mix_rebalance",
     "events_value_percentiles", "events_user_set_ops",
     "docs_link_pagerank", "events_distinct_kmv", "events_funnel_conversion",
+    "doc_chunk_dedup", "doc_sequence_packing",
 ]
 
 # fat-wave corpus: ONE list page per section so the crawl is 2 waves

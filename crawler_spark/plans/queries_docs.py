@@ -1007,3 +1007,151 @@ def doc_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", F.col("rk").cast("long").alias("rk"))
         .orderBy("lang", "rk")
     )
+
+
+# ===========================================================================
+# chunk-level dedup + sequence packing (round-4 additions)
+# ===========================================================================
+
+CHUNK_W = 20  # tokens per dedup chunk ("paragraph" unit of the token stream)
+SEQ_LEN = 512  # training-sequence token budget for packing
+
+
+@q(
+    "doc_chunk_dedup",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKENS} AS tk FROM documents
+    ),
+    ch AS (
+      SELECT doc_id, i AS ci,
+             list_aggregate(tk[(i-1)*{CHUNK_W}+1 : least(i*{CHUNK_W}, len(tk))],
+                            'string_agg', ' ') AS chunk
+      FROM toks,
+           LATERAL (SELECT unnest(generate_series(
+                      1, CAST(ceil(len(tk) / {CHUNK_W}.0) AS BIGINT))) AS i) g
+    ),
+    mk AS (
+      SELECT doc_id, ci, chunk,
+             row_number() OVER (PARTITION BY chunk ORDER BY doc_id, ci) = 1 AS keep
+      FROM ch
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           coalesce(string_agg(CASE WHEN keep THEN chunk END, ' ' ORDER BY ci), '')
+             AS text_deduped
+    FROM mk GROUP BY doc_id ORDER BY doc_id
+    """,
+    "chunk-level (paragraph) dedup, RefinedWeb/FineWeb-style: the token "
+    "stream is cut into fixed 20-token units, duplicate units across the "
+    "whole corpus keep only their first occurrence (min (doc_id, position)), "
+    "and each document is re-assembled from its surviving units. ONE "
+    "shuffle, keyed by the chunk text — the same candidate-key discipline "
+    "as every other dedup family here; at 100 TB the key becomes "
+    "xxhash64(chunk) so the exchange moves 8-byte keys, not text",
+)
+def doc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    # Materialize the token array behind a projection boundary FIRST:
+    # Catalyst re-evaluates expressions referenced inside lambda scopes
+    # per element (no CSE across scopes).
+    toks = d.select("doc_id", X.tokens(F.col("text")).alias("tk")).select(
+        "doc_id", "tk", F.size("tk").alias("n_tok")
+    )
+    ch = (
+        toks.select(
+            "doc_id",
+            "tk",
+            "n_tok",
+            F.explode(
+                F.sequence(F.lit(1), F.ceil(F.col("n_tok") / CHUNK_W).cast("int"))
+            ).alias("ci"),
+        )
+        .select(
+            "doc_id",
+            "ci",
+            F.array_join(
+                F.slice(
+                    F.col("tk"),
+                    (F.col("ci") - 1) * CHUNK_W + 1,
+                    F.least(F.lit(CHUNK_W), F.col("n_tok") - (F.col("ci") - 1) * CHUNK_W),
+                ),
+                " ",
+            ).alias("chunk"),
+        )
+    )
+    w = Window.partitionBy("chunk").orderBy("doc_id", "ci")
+    mk = ch.withColumn("keep", F.row_number().over(w) == 1)
+    return (
+        mk.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
+            F.coalesce(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("keep"), F.struct("ci", "chunk")
+                                )
+                            )
+                        ),
+                        lambda s: s.chunk,
+                    ),
+                    " ",
+                ),
+                F.lit(""),
+            ).alias("text_deduped"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@q(
+    "doc_sequence_packing",
+    f"""
+    WITH n AS (
+      SELECT doc_id, lang, CAST(len({SQL_TOKENS}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, lang, n_tokens,
+             sum(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum
+      FROM n
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST((cum - n_tokens) // {SEQ_LEN} AS BIGINT) AS seq_id,
+           CAST((cum - n_tokens) % {SEQ_LEN} AS BIGINT) AS seq_offset
+    FROM c ORDER BY lang, doc_id
+    """,
+    "training-sequence packing: concatenate each language's token stream "
+    "in doc_id order and assign every document the 512-token training "
+    "sequence (and offset) where it starts — a per-stratum prefix sum "
+    "(running-total window), exact integer arithmetic. At 100 TB the "
+    "stratum is (lang, hash-shard) so no single window partition holds a "
+    "whole language; packing is embarrassingly parallel across shards",
+)
+def doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    n = d.select(
+        "doc_id", "lang", X.token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = n.withColumn("cum", F.sum("n_tokens").over(w))
+    start = F.col("cum") - F.col("n_tokens")
+    return c.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.expr(f"(cum - n_tokens) div {SEQ_LEN}").alias("seq_id"),
+        (start % SEQ_LEN).alias("seq_offset"),
+    ).orderBy("lang", "doc_id")
