@@ -206,11 +206,15 @@ class _StepClock:
 
 # Serialized (lz4 when spark.rdd.compress=true) checkpoint blocks: the
 # fetch checkpoint writes ~GBs of parsed text per wave into the block
-# store; deserialized row blocks cost memory bandwidth that a single
-# box shares across all task slots, while serialization costs CPU that
-# scales with slots. Off by default (measured A/B gate in bench.py).
+# store; deserialized row blocks cost memory/store bandwidth that a
+# single box shares across all task slots, while serialization costs
+# CPU that scales with slots. Default ON — measured A/B (taskset-bound,
+# same corpus, 1 rep/level, round 4): serialized wins at BOTH levels
+# (local[2] 228.3s vs 237.4s; local[8] 68.7s vs 81.8s) and lifts 2→8
+# scaling efficiency 0.726 → 0.831. Opt out with
+# CRAWLER_SPARK_CKPT_SER=0.
 _CKPT_LEVEL = None
-if os.environ.get("CRAWLER_SPARK_CKPT_SER"):
+if os.environ.get("CRAWLER_SPARK_CKPT_SER", "1") != "0":
     from pyspark import StorageLevel as _SL
 
     # PySpark's MEMORY_AND_DISK constant is the serialized level (the

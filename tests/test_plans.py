@@ -352,3 +352,15 @@ def test_pagerank_no_nested_loop_joins(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_chunk_dedup_single_dedup_shuffle_jvm_side(spark):
+    """Chunk-level dedup must stay entirely JVM-side (tokenize, slice,
+    window, regroup are all Catalyst) and key its dedup shuffle on the
+    chunk — no Python eval, no nested-loop join anywhere."""
+    from crawler_spark.plans.queries_docs import doc_chunk_dedup
+
+    plan = _plan(doc_chunk_dedup(spark, "/root/testdata/sf0.001"))
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
