@@ -846,6 +846,12 @@ def crawl(
             seen = store.read_snapshot(spark, "seen", cid)
             if shards is not None:
                 shards = store.read_snapshot(spark, "shards", cid)
+            # the durability tax is MEASURED per wave (everything from the
+            # state-pipeline join through appends, staging, the atomic
+            # checkpoint, GC and the durable re-read) — bench reads this
+            # step instead of subtracting a separate no-store run, which
+            # drifts with ambient load
+            clk.tick("store_commit")
 
     # drain the state pipeline (a max_waves exit can leave the last
     # wave's seen/shards commit in flight)
