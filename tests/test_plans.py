@@ -364,3 +364,37 @@ def test_chunk_dedup_single_dedup_shuffle_jvm_side(spark):
     assert "BatchEvalPython" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bigram_fluency_jvm_side_equi_joins_only(spark):
+    """The bigram-LM fluency filter must stay entirely JVM-side and join
+    the model count tables on their natural keys as EQUI joins — the
+    join strategy (broadcast here at sf0.001, shuffle at web scale) is
+    Catalyst's stats-driven call, but a nested-loop/cartesian candidate
+    generator must never appear. The only nested-loop allowed is the
+    1-row vocab-scalar cross join."""
+    from crawler_spark.plans.queries_docs import doc_bigram_fluency
+
+    plan = _plan(doc_bigram_fluency(spark, "/root/testdata/sf0.001"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # the c12/c1 model joins are hash equi-joins
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+    # at most one nested-loop: the broadcast of the 1-row vocab scalar
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_tfidf_jvm_side_df_join_keyed(spark):
+    """TF-IDF: document-frequency table joined on the term key as a hash
+    equi-join (strategy is stats-driven: broadcast at sf0.001, shuffle
+    at web scale), per-doc top-3 via a doc-partitioned window; all
+    JVM-side; the only nested-loop is the 1-row N-scalar cross join."""
+    from crawler_spark.plans.queries_docs import doc_tfidf_top_terms
+
+    plan = _plan(doc_tfidf_top_terms(spark, "/root/testdata/sf0.001"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    # the top-3 window is partitioned by doc_id (never a global window)
+    assert "row_number()" in plan and "windowspecdefinition(doc_id" in plan
