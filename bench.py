@@ -72,7 +72,8 @@ BENCH_QUERIES = [
     "events_value_percentiles", "events_user_set_ops",
     "docs_link_pagerank", "events_distinct_kmv", "events_funnel_conversion",
     "doc_chunk_dedup", "doc_sequence_packing",
-    "doc_bigram_fluency", "doc_tfidf_top_terms",
+    "doc_bigram_fluency", "doc_tfidf_top_terms", "doc_fluency_buckets",
+    "doc_domain_reputation", "dedup_lsh_exact_verify",
 ]
 
 # fat-wave corpus: ONE list page per section so the crawl is 2 waves

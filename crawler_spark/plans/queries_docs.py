@@ -1161,10 +1161,11 @@ def doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # LM-based quality filtering + term weighting (CCNet / TF-IDF families)
 # ===========================================================================
 
-@q(
-    "doc_bigram_fluency",
-    f"""
-    WITH tok AS (SELECT doc_id, {SQL_TOKENS} AS ts FROM documents),
+# shared fluency CTE chain (no trailing ORDER BY — composable); used by
+# doc_bigram_fluency and doc_fluency_buckets so the model spec cannot
+# drift between the two oracles
+_SQL_FLUENCY_CTES = f"""
+    tok AS (SELECT doc_id, {SQL_TOKENS} AS ts FROM documents),
     bi AS (
       SELECT doc_id, i AS pos, ts[i] AS w1, ts[i + 1] AS w2
       FROM tok, UNNEST(range(1, len(ts))) AS u(i)
@@ -1182,13 +1183,22 @@ def doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN c1 ON b.w1 = c1.w1
       CROSS JOIN v
       GROUP BY b.doc_id
+    ),
+    fluency AS (
+      SELECT tok.doc_id,
+             CAST(greatest(len(tok.ts) - 1, 0) AS BIGINT) AS n_bigrams,
+             round(list_reduce(list_prepend(CAST(0 AS DOUBLE), terms.ps),
+                               (a, x) -> a + x) / len(terms.ps), 6) AS fluency
+      FROM tok LEFT JOIN terms ON tok.doc_id = terms.doc_id
     )
-    SELECT tok.doc_id,
-           CAST(greatest(len(tok.ts) - 1, 0) AS BIGINT) AS n_bigrams,
-           round(list_reduce(list_prepend(CAST(0 AS DOUBLE), terms.ps),
-                             (a, x) -> a + x) / len(terms.ps), 6) AS fluency
-    FROM tok LEFT JOIN terms ON tok.doc_id = terms.doc_id
-    ORDER BY tok.doc_id
+"""
+
+
+@q(
+    "doc_bigram_fluency",
+    f"""
+    WITH {_SQL_FLUENCY_CTES}
+    SELECT doc_id, n_bigrams, fluency FROM fluency ORDER BY doc_id
     """,
     "bigram-LM fluency score (CCNet/KenLM-style model-based quality "
     "filter): train an add-1-smoothed bigram model ON the corpus itself "
@@ -1334,4 +1344,233 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("score", 6).alias("tfidf"),
         )
         .orderBy("doc_id", "rnk")
+    )
+
+
+@q(
+    "doc_fluency_buckets",
+    f"""
+    WITH {_SQL_FLUENCY_CTES},
+    sel AS (
+      SELECT fl.doc_id, d.lang, fl.fluency,
+             ntile(3) OVER (PARTITION BY d.lang
+                            ORDER BY fl.fluency DESC, fl.doc_id) AS b
+      FROM fluency fl JOIN documents d USING (doc_id)
+      WHERE fl.n_bigrams > 0
+    )
+    SELECT doc_id, lang, fluency,
+           CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                  ELSE 'tail' END AS bucket
+    FROM sel ORDER BY doc_id
+    """,
+    "CCNet-style head/middle/tail partition: per-language fluency "
+    "terciles (ntile(3) over the corpus-trained bigram-LM score, "
+    "deterministic doc_id tie-break); the canonical model-based "
+    "quality split used to stage web text into training mixes",
+)
+def doc_fluency_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language head/middle/tail fluency terciles (CCNet's split).
+
+    Scale shape: reuses the fluency plan (two count shuffles + the
+    doc_id re-agg), then ONE window partitioned by lang. A language is
+    a fat partition at web scale — the sort inside ntile is the cost —
+    so the 100-TB variant becomes a two-pass split (approxQuantile of
+    fluency per lang -> broadcast thresholds -> stateless filter),
+    trading the exact tercile boundary for no per-lang global sort;
+    the exact window here is the graded spec of that split."""
+    flu = doc_bigram_fluency(spark, sf_dir)
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(F.desc("fluency"), F.asc("doc_id"))
+    return (
+        flu.where(F.col("n_bigrams") > 0)
+        .join(d, "doc_id")
+        .withColumn("b", F.ntile(3).over(w))
+        .select(
+            "doc_id", "lang", "fluency",
+            F.when(F.col("b") == 1, F.lit("head"))
+            .when(F.col("b") == 2, F.lit("middle"))
+            .otherwise(F.lit("tail")).alias("bucket"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@q(
+    "doc_domain_reputation",
+    """
+    WITH d AS (
+      SELECT doc_id, source, md5(text) AS text_md5,
+             len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tok,
+             CAST(round(
+               (0.4 * least(1.0, len(regexp_extract_all(lower(text), '[a-z0-9]+')) / 100.0)
+              + 0.3 * (1.0 - CASE WHEN length(text) > 0
+                  THEN CAST(len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS DOUBLE) / length(text)
+                  ELSE 0 END)
+              + 0.3 * least(1.0, 4.0 * CASE WHEN len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0
+                  THEN CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                       x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
+                       / len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                  ELSE 0 END)
+             ) * 1000000) AS BIGINT) AS q_micro
+      FROM documents
+    ),
+    dup AS (SELECT text_md5, count(*) AS n_copies FROM d GROUP BY 1)
+    SELECT d.source,
+           count(*) AS n_docs,
+           round(CAST(sum(d.q_micro) AS DOUBLE) / (count(*) * 1000000.0), 6)
+             AS mean_quality,
+           round(CAST(sum(CASE WHEN dup.n_copies > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS dup_share,
+           CAST(sum(d.n_tok) AS BIGINT) AS total_tokens,
+           (CAST(sum(CASE WHEN dup.n_copies > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*) > 0.5
+            OR CAST(sum(d.q_micro) AS DOUBLE) / (count(*) * 1000000.0) < 0.5)
+             AS blocklisted
+    FROM d JOIN dup USING (text_md5)
+    GROUP BY d.source ORDER BY d.source
+    """,
+    "domain-level reputation rollup (C4/Gopher-style source filtering): "
+    "per-source doc count, mean quality (summed in exact micro-units — "
+    "int64 — so the mean is summation-order-free across engines), "
+    "corpus-wide exact-dup share, token mass, and a blocklist flag "
+    "(dup_share > 0.5 or mean quality < 0.5); two keyed shuffles "
+    "(md5 dup-count join + source rollup), no broadcast of anything "
+    "web-scale",
+)
+def doc_domain_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source (domain) reputation: the aggregate that feeds a
+    C4-style domain blocklist.
+
+    Exactness: quality_score is rounded to 6 dp per doc, so its
+    micro-unit (1e-6) scaling is integer-valued; summing int64 micros
+    makes the per-domain mean independent of partition/summation order
+    — the double sum would be ulp-sensitive across engines. Scale
+    shape: dup counts shuffle on the md5 key, the rollup shuffles on
+    source; both map-side combine. At 100 TB 'source' is the
+    registrable domain from the URL — same plan, fatter keys."""
+    d0 = t(spark, sf_dir, "documents")
+    qc = X.quality_cols(F.col("text"))
+    d = d0.select(
+        "doc_id", "source",
+        F.md5(F.col("text")).alias("text_md5"),
+        qc["n_tokens"].alias("n_tok"),
+        F.round(
+            # unrounded score * 1e6, rounded once -> exact micro-units
+            (qc["quality_score"] * F.lit(1000000.0))
+        ).cast("long").alias("q_micro"),
+    )
+    dup = d.groupBy("text_md5").agg(F.count("*").alias("n_copies"))
+    j = d.join(dup, "text_md5")
+    is_dup = F.when(F.col("n_copies") > 1, F.lit(1)).otherwise(F.lit(0))
+    agg = j.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("q_micro").alias("qsum"),
+        F.sum(is_dup).alias("ndup"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+    )
+    mean_q = F.col("qsum").cast("double") / (F.col("n_docs") * F.lit(1000000.0))
+    dup_share = F.col("ndup").cast("double") / F.col("n_docs")
+    return agg.select(
+        "source", "n_docs",
+        F.round(mean_q, 6).alias("mean_quality"),
+        F.round(dup_share, 6).alias("dup_share"),
+        "total_tokens",
+        ((dup_share > 0.5) | (mean_q < 0.5)).alias("blocklisted"),
+    ).orderBy("source")
+
+
+@q(
+    "dedup_lsh_exact_verify",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, {_SQL_SHINGLE_HASHES} AS sh FROM documents
+    ), sig AS (
+      SELECT doc_id, {_sql_minhash_select()} FROM sh WHERE len(sh) > 0
+    ), bucketed AS (
+      SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7,
+             '0_' || mh0 || '_' || mh1 AS b0, '1_' || mh2 || '_' || mh3 AS b1,
+             '2_' || mh4 || '_' || mh5 AS b2, '3_' || mh6 || '_' || mh7 AS b3
+      FROM sig
+    ), unp0 AS (
+      SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7, b0 AS bucket FROM bucketed
+      UNION ALL SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7, b1 FROM bucketed
+      UNION ALL SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7, b2 FROM bucketed
+      UNION ALL SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7, b3 FROM bucketed
+    ), unp AS (
+      SELECT * FROM unp0
+      QUALIFY count(*) OVER (PARTITION BY bucket) <= {{LSH_MAX_BUCKET}}
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(((CASE WHEN a.mh0=b.mh0 THEN 1 ELSE 0 END) + (CASE WHEN a.mh1=b.mh1 THEN 1 ELSE 0 END)
+                  + (CASE WHEN a.mh2=b.mh2 THEN 1 ELSE 0 END) + (CASE WHEN a.mh3=b.mh3 THEN 1 ELSE 0 END)
+                  + (CASE WHEN a.mh4=b.mh4 THEN 1 ELSE 0 END) + (CASE WHEN a.mh5=b.mh5 THEN 1 ELSE 0 END)
+                  + (CASE WHEN a.mh6=b.mh6 THEN 1 ELSE 0 END) + (CASE WHEN a.mh7=b.mh7 THEN 1 ELSE 0 END)
+                   ) / 8.0, 6) AS est_jaccard
+      FROM unp a JOIN unp b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ), sets AS (
+      SELECT doc_id, list_distinct(sh) AS hs FROM sh WHERE len(sh) > 0
+    )
+    SELECT p.id_a, p.id_b, p.est_jaccard,
+           round(CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+                 / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))), 6)
+             AS exact_jaccard,
+           round(abs(p.est_jaccard
+                 - round(CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+                   / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))), 6)), 6)
+             AS abs_err
+    FROM pairs p JOIN sets sa ON sa.doc_id = p.id_a
+                 JOIN sets sb ON sb.doc_id = p.id_b
+    ORDER BY id_a, id_b
+    """.replace("{LSH_MAX_BUCKET}", str(DD.LSH_MAX_BUCKET)),
+    "LSH exact-verify stage (the second half of production MinHash "
+    "dedup): for every band-bucket candidate pair, compute the TRUE "
+    "shingle-set Jaccard from the hashed shingle sets and the "
+    "signature-estimate error — candidates are LSH-bounded, so the "
+    "exact verify joins only candidate ids (semi-join pushdown), "
+    "moving 8-byte hash sets, never text",
+)
+def dedup_lsh_exact_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard verification of LSH candidates + estimator error.
+
+    Scale shape: the shingle-hash sets are fetched ONLY for docs that
+    appear in a candidate pair (left-semi prune before the hash pass),
+    then joined twice on the id key. The verify stage is linear in the
+    candidate count — LSH's whole point — and the joined payload is
+    int64 hash arrays, not document text. At 100 TB the sets dwarf a
+    broadcast, so both joins shuffle on the id; here Catalyst picks
+    broadcast from stats, which is the same plan a 1000-executor AQE
+    run would pick per-partition."""
+    from ..functions import text_fast as TF
+
+    docs = t(spark, sf_dir, "documents")
+    sigs = DD.minhash_signatures(docs)
+    pairs = DD.lsh_candidate_pairs(sigs)
+    cand_ids = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    # whole-batch numpy shingle-hash sets (same graded hash spec as the
+    # minhash pass) — the Catalyst per-char fold is ~10x slower here
+    sets = (
+        docs.join(cand_ids, "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            TF.shingle_hash_sets_fast(F.col("text")).alias("hs"),
+        )
+        .where(F.size("hs") > 0)
+    )
+    a = sets.select(F.col("doc_id").alias("id_a"), F.col("hs").alias("ha"))
+    b = sets.select(F.col("doc_id").alias("id_b"), F.col("hs").alias("hb"))
+    inter = F.size(F.array_intersect("ha", "hb")).cast("double")
+    uni = (F.size("ha") + F.size("hb")).cast("double") - inter
+    exact = F.round(inter / uni, 6)
+    return (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .select(
+            "id_a", "id_b", "est_jaccard",
+            exact.alias("exact_jaccard"),
+            F.round(F.abs(F.col("est_jaccard") - exact), 6).alias("abs_err"),
+        )
+        .orderBy("id_a", "id_b")
     )

@@ -398,3 +398,47 @@ def test_tfidf_jvm_side_df_join_keyed(spark):
     assert plan.count("BroadcastNestedLoopJoin") <= 1
     # the top-3 window is partitioned by doc_id (never a global window)
     assert "row_number()" in plan and "windowspecdefinition(doc_id" in plan
+
+
+def test_fluency_buckets_window_partitioned_by_lang(spark):
+    """The CCNet tercile split must be a lang-partitioned ntile window
+    (never a global sort) on top of the fluency plan's equi-joins; all
+    JVM-side; the only nested-loop is the 1-row vocab-scalar cross
+    join inherited from the fluency model."""
+    from crawler_spark.plans.queries_docs import doc_fluency_buckets
+
+    plan = _plan(doc_fluency_buckets(spark, "/root/testdata/sf0.001"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "ntile(3)" in plan and "windowspecdefinition(lang" in plan
+
+
+def test_domain_reputation_keyed_shuffles_no_nested_loop(spark):
+    """Domain reputation: the dup-count join keys on the md5 hash and
+    the rollup groups by source — both keyed exchanges; no window, no
+    nested-loop/cartesian, no Python anywhere."""
+    from crawler_spark.plans.queries_docs import doc_domain_reputation
+
+    plan = _plan(doc_domain_reputation(spark, "/root/testdata/sf0.001"))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+    assert "Window" not in plan
+
+
+def test_lsh_exact_verify_semi_prunes_candidates(spark):
+    """The exact-verify stage must fetch shingle sets only for docs in
+    a candidate pair: a left-semi join prunes the documents scan before
+    the (expensive) shingle-hash projection, and the pair joins are
+    hash equi-joins on the id key. The minhash signature pass is the
+    one Arrow stage; no row-at-a-time Python, no cartesian."""
+    from crawler_spark.plans.queries_docs import dedup_lsh_exact_verify
+
+    plan = _plan(dedup_lsh_exact_verify(spark, "/root/testdata/sf0.001"))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan

@@ -91,3 +91,20 @@ def test_batch_vectorized_edges():
         assert mh[i] == XF.minhash8_py(x), (i, x)
         assert sh[i] == XF.simhash32_py(x), (i, x)
         assert ph[i] == XF.poly_hash_py(x), (i, x)
+
+
+def test_shingle_hash_sets_parity(spark, docs):
+    """Distinct shingle-hash sets (LSH exact-verify payload) vs the
+    Catalyst spec: array_distinct of poly_hash over shingles, compared
+    as sets (the fast path pins ascending order)."""
+    spec = F.array_distinct(
+        F.transform(X.shingles(F.col("text"), 3),
+                    lambda s: X.poly_hash_str(s))
+    )
+    got = docs.select(
+        "doc_id", spec.alias("spec"),
+        XF.shingle_hash_sets_fast(F.col("text")).alias("fast"),
+    ).collect()
+    for r in got:
+        assert sorted(r["spec"]) == list(r["fast"]), r["doc_id"]
+        assert list(r["fast"]) == sorted(r["fast"])  # pinned order
