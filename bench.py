@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "doc_chunk_dedup", "doc_sequence_packing",
     "doc_bigram_fluency", "doc_tfidf_top_terms", "doc_fluency_buckets",
     "doc_domain_reputation", "dedup_lsh_exact_verify",
+    "dedup_simhash_pairs", "doc_vocab_oov_rate",
 ]
 
 # fat-wave corpus: ONE list page per section so the crawl is 2 waves

@@ -179,6 +179,58 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text",
     return docs.select(F.col(id_col), simhash32_fast(F.col(text_col)).alias("simhash"))
 
 
+SIMHASH_MAX_BUCKET = 1000  # hot byte-band cap, mirrored engine <-> oracle
+
+
+def simhash_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
+                            sig_col: str = "simhash", max_hamming: int = 3,
+                            max_bucket: int | None = SIMHASH_MAX_BUCKET
+                            ) -> DataFrame:
+    """(id_a < id_b, hamming): SimHash near-dup pairs by byte banding.
+
+    Pigeonhole completeness: the 32-bit signature splits into 4 8-bit
+    bands; hamming(a, b) <= 3 flips at most 3 bands, so at least one
+    band byte is IDENTICAL — the (band, byte) equi-join therefore finds
+    every pair within the radius, and the exact ``bit_count(xor)``
+    filter afterwards removes band-collision false positives. No
+    all-pairs stage exists; the candidate key is (band, byte), the same
+    discipline as every other family here. A degenerate band value
+    (e.g. all-zero signatures from near-empty docs) is capped exactly
+    like :func:`lsh_candidate_pairs` — members of a dropped bucket
+    still pair through their other 3 bands, and the oracle mirrors the
+    cap."""
+    bands = F.array(*[
+        F.struct(
+            F.lit(i).alias("band"),
+            F.shiftright(F.col("sig"), 8 * i).bitwiseAND(F.lit(255)).alias("byte"),
+        )
+        for i in range(4)
+    ])
+    unp = (
+        sigs.where(F.col(sig_col).isNotNull())
+        .select(F.col(id_col).alias("id"), F.col(sig_col).alias("sig"))
+        .select("id", "sig", F.explode(bands).alias("b"))
+        .select("id", "sig", "b.band", "b.byte")
+    )
+    if max_bucket is not None:
+        hot = (
+            unp.groupBy("band", "byte")
+            .agg(F.count("*").alias("members"))
+            .filter(F.col("members") > max_bucket)
+        )
+        unp = unp.join(hot.select("band", "byte"), ["band", "byte"], "left_anti")
+    a = unp.select("band", "byte", F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    b = unp.select("band", "byte", F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        a.join(b, ["band", "byte"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def _cc_min_labels(pairs: DataFrame, vertices: DataFrame,
                    id_col: str = "doc_id") -> tuple[DataFrame, int]:
     """Min-label connected components with pointer doubling; returns

@@ -607,23 +607,33 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-@q(
-    "dedup_simhash",
-    f"""
-    WITH tok AS (
+# shared simhash CTE chain (composable); used by dedup_simhash and
+# dedup_simhash_pairs so the signature spec cannot drift between oracles
+_SQL_SIMHASH_CTES = f"""
+    tok AS (
       SELECT doc_id,
              list_transform({SQL_TOKENS}, s -> {sql_poly_hash('s')}) AS th
       FROM documents
+    ),
+    sig AS (
+      SELECT doc_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(generate_series(0, 31), b ->
+                 CASE WHEN list_sum(list_transform(th, h ->
+                        CASE WHEN CAST(floor(h / power(2, b)) AS BIGINT) % 2 = 1
+                             THEN 1 ELSE -1 END)) > 0
+                      THEN CAST(floor(power(2, b)) AS BIGINT) ELSE 0 END)),
+               (a, x) -> a + x) AS simhash
+      FROM tok
     )
-    SELECT doc_id,
-           list_reduce(list_prepend(CAST(0 AS BIGINT),
-             list_transform(generate_series(0, 31), b ->
-               CASE WHEN list_sum(list_transform(th, h ->
-                      CASE WHEN CAST(floor(h / power(2, b)) AS BIGINT) % 2 = 1
-                           THEN 1 ELSE -1 END)) > 0
-                    THEN CAST(floor(power(2, b)) AS BIGINT) ELSE 0 END)),
-             (a, x) -> a + x) AS simhash
-    FROM tok ORDER BY doc_id
+"""
+
+
+@q(
+    "dedup_simhash",
+    f"""
+    WITH {_SQL_SIMHASH_CTES}
+    SELECT doc_id, simhash FROM sig ORDER BY doc_id
     """,
     "SimHash 32-bit signatures over token hashes",
 )
@@ -1573,4 +1583,109 @@ def dedup_lsh_exact_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(F.col("est_jaccard") - exact), 6).alias("abs_err"),
         )
         .orderBy("id_a", "id_b")
+    )
+
+
+@q(
+    "dedup_simhash_pairs",
+    f"""
+    WITH {_SQL_SIMHASH_CTES},
+    bnd AS (
+      SELECT doc_id, simhash, band,
+             (simhash >> (band * 8)) & 255 AS byte
+      FROM sig, UNNEST([0, 1, 2, 3]) AS u(band)
+      WHERE simhash IS NOT NULL
+    ),
+    capped AS (
+      SELECT * FROM bnd
+      QUALIFY count(*) OVER (PARTITION BY band, byte) <= {{SIMHASH_MAX_BUCKET}}
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM capped a
+    JOIN capped b ON a.band = b.band AND a.byte = b.byte
+                 AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ORDER BY id_a, id_b
+    """.replace("{SIMHASH_MAX_BUCKET}", str(DD.SIMHASH_MAX_BUCKET)),
+    "SimHash near-dup pairs by byte banding: 4x8-bit bands, (band, "
+    "byte) equi-join, exact bit_count(xor) <= 3 filter — pigeonhole-"
+    "complete for the radius, no all-pairs stage; degenerate band "
+    "values capped, oracle-mirrored",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash candidate pairing (completes the simhash dedup family:
+    signatures were graded since round 1, this grades the pair
+    generator). See operators/dedup_docs.py simhash_candidate_pairs
+    for the pigeonhole argument and the hot-bucket cap."""
+    sigs = DD.simhash_signatures(t(spark, sf_dir, "documents"))
+    return DD.simhash_candidate_pairs(sigs).orderBy("id_a", "id_b")
+
+
+@q(
+    "doc_vocab_oov_rate",
+    f"""
+    WITH tokx AS (
+      SELECT doc_id, unnest({SQL_TOKENS}) AS term FROM documents
+    ),
+    tf AS (SELECT term, count(*) AS cnt FROM tokx GROUP BY 1),
+    vocab AS (SELECT term FROM tf ORDER BY cnt DESC, term LIMIT 1000),
+    per_doc AS (
+      SELECT tokx.doc_id, count(*) AS n_tokens,
+             sum(CASE WHEN v.term IS NOT NULL THEN 1 ELSE 0 END) AS iv
+      FROM tokx LEFT JOIN vocab v USING (term)
+      GROUP BY tokx.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+           round(CASE WHEN p.n_tokens > 0
+                      THEN 1.0 - CAST(p.iv AS DOUBLE) / p.n_tokens
+                      ELSE 0 END, 6) AS oov_rate
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+    "tokenizer vocabulary coverage: corpus top-1000 vocab (count-desc, "
+    "term-asc tie-break — a deterministic rank-1000 boundary) then "
+    "per-doc out-of-vocabulary token share; the vocab is bounded so it "
+    "broadcasts, the token stream shuffles once on the term count and "
+    "once on doc_id",
+)
+def doc_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document OOV rate against the corpus's own top-1000 vocab —
+    the coverage metric that sizes a tokenizer for a corpus.
+
+    Scale shape: the vocab is top-k of a keyed count (TakeOrdered — a
+    per-partition partial top-k, no global sort) and is k-bounded, so
+    it broadcasts to the membership probe regardless of corpus size;
+    the per-doc rollup shuffles on doc_id once. At 100 TB k grows to a
+    real BPE vocab (~10^5) — still broadcast-sized."""
+    d = t(spark, sf_dir, "documents")
+    tokx = d.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("term"))
+    tf = tokx.groupBy("term").agg(F.count("*").alias("cnt"))
+    vocab = (
+        tf.orderBy(F.desc("cnt"), F.asc("term")).limit(1000)
+        .select("term", F.lit(1).alias("in_vocab"))
+    )
+    per_doc = (
+        tokx.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.coalesce(F.col("in_vocab"), F.lit(0))).alias("iv"),
+        )
+    )
+    return (
+        d.select("doc_id").join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.round(
+                F.when(
+                    F.col("n_tokens") > 0,
+                    F.lit(1.0) - F.col("iv").cast("double") / F.col("n_tokens"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("oov_rate"),
+        )
+        .orderBy("doc_id")
     )

@@ -537,3 +537,57 @@ def test_asof_join_tolerance(spark):
     }
     assert rows[1][0] == 100 and rows[1][1] is not None  # 2s gap, in
     assert rows[2] == (None, None)                       # 22s gap, out
+
+
+def test_simhash_pairs_pigeonhole_exact(spark):
+    """Byte-banded SimHash pairing vs brute force: on random 32-bit
+    signatures the operator must return EXACTLY the hamming<=3 pairs
+    (banding is pigeonhole-complete for the radius; the bit_count(xor)
+    filter kills band-collision false positives)."""
+    import random
+
+    from crawler_spark.operators.dedup_docs import simhash_candidate_pairs
+
+    rng = random.Random(7)
+    base = [rng.getrandbits(32) for _ in range(40)]
+    sigs = []
+    for i, s in enumerate(base):
+        sigs.append((2 * i, s))
+        # a planted neighbor at hamming 1-3 and a far sibling
+        flips = rng.sample(range(32), rng.randint(1, 3))
+        m = s
+        for b in flips:
+            m ^= 1 << b
+        sigs.append((2 * i + 1, m))
+    df = spark.createDataFrame(sigs, "doc_id long, simhash long")
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_candidate_pairs(df, max_bucket=None).collect()
+    }
+    want = set()
+    for i in range(len(sigs)):
+        for j in range(i + 1, len(sigs)):
+            a, b = sigs[i], sigs[j]
+            h = bin(a[1] ^ b[1]).count("1")
+            if h <= 3:
+                lo, hi = min(a[0], b[0]), max(a[0], b[0])
+                want.add((lo, hi, h))
+    assert got == want and len(want) >= 40  # every planted neighbor found
+
+
+def test_simhash_hot_band_cap(spark):
+    """A degenerate band value (mass-identical signatures) past the cap
+    must not enter the self-join; members still pair through nothing
+    (all four bands hot) — zero pairs with the cap, quadratic without."""
+    from crawler_spark.operators.dedup_docs import simhash_candidate_pairs
+
+    n = 1200  # > SIMHASH_MAX_BUCKET
+    df = spark.createDataFrame(
+        [(i, 0x0F0F0F0F) for i in range(n)], "doc_id long, simhash long"
+    )
+    capped = simhash_candidate_pairs(df).count()
+    assert capped == 0
+    uncapped = simhash_candidate_pairs(
+        df.limit(50), max_bucket=None
+    ).count()
+    assert uncapped == 50 * 49 // 2

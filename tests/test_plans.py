@@ -442,3 +442,29 @@ def test_lsh_exact_verify_semi_prunes_candidates(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LeftSemi" in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_simhash_pairs_band_equi_join_no_cartesian(spark):
+    """SimHash pairing must meet candidates in a (band, byte) hash
+    equi-join — never a nested-loop/cartesian all-pairs stage; the
+    signature pass is the one Arrow stage."""
+    from crawler_spark.plans.queries_docs import dedup_simhash_pairs
+
+    plan = _plan(dedup_simhash_pairs(spark, "/root/testdata/sf0.001"))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_vocab_oov_topk_is_take_ordered_and_broadcast_probe(spark):
+    """The top-1000 vocab must be a TakeOrderedAndProject (partial
+    per-partition top-k, no global sort) and the membership probe must
+    broadcast the k-bounded vocab; all JVM-side."""
+    from crawler_spark.plans.queries_docs import doc_vocab_oov_rate
+
+    plan = _plan(doc_vocab_oov_rate(spark, "/root/testdata/sf0.001"))
+    assert "EvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
