@@ -75,6 +75,9 @@ BENCH_QUERIES = [
     "doc_bigram_fluency", "doc_tfidf_top_terms", "doc_fluency_buckets",
     "doc_domain_reputation", "dedup_lsh_exact_verify",
     "dedup_simhash_pairs", "doc_vocab_oov_rate",
+    "dedup_keep_canonical", "doc_gopher_quality_filter",
+    "crawl_snapshot_delta", "embedding_scalar_quantize",
+    "doc_lang_token_budget",
 ]
 
 # fat-wave corpus: ONE list page per section so the crawl is 2 waves

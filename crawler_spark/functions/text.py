@@ -129,6 +129,56 @@ def quality_cols(text: Column) -> dict[str, Column]:
     }
 
 
+def gopher_cols(text: Column) -> dict[str, Column]:
+    """Gopher-style quality-rule flags (Rae et al. 2021, scaled to the
+    synthetic corpus). Normative spec, mirrored verbatim in the DuckDB
+    oracle:
+
+    - ok_n_tokens:      10 <= n_tokens <= 100000
+    - ok_mean_word_len: 3 <= sum(len(tok))/n_tokens <= 10
+    - ok_symbol_ratio:  (count('#') + count('...')) / n_tokens <= 0.1
+    - ok_alpha_words:   tokens containing [a-z] / n_tokens >= 0.8
+    - ok_stopwords:     EN stopword hits >= 2
+    - keep: all of the above; zero-token docs fail every ratio rule.
+
+    All flags are 0/1 ints (not booleans) so the oracle hash compare is
+    dtype-stable. Pure Catalyst — one projection, no shuffle, no UDF."""
+    t = tokens(text)
+    n_tok = F.size(t).cast("double")
+    sum_len = F.aggregate(
+        t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    ).cast("double")
+    mwl = F.when(n_tok > 0, sum_len / n_tok).otherwise(F.lit(0.0))
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    sym_ratio = F.when(
+        n_tok > 0, (n_hash + n_ellipsis).cast("double") / n_tok
+    ).otherwise(F.lit(1.0))
+    n_alpha = F.size(F.filter(t, lambda x: x.rlike("[a-z]"))).cast("double")
+    alpha_frac = F.when(n_tok > 0, n_alpha / n_tok).otherwise(F.lit(0.0))
+    flags = {
+        "ok_n_tokens": (n_tok >= 10) & (n_tok <= 100000),
+        "ok_mean_word_len": (n_tok > 0) & (mwl >= 3) & (mwl <= 10),
+        "ok_symbol_ratio": (n_tok > 0) & (sym_ratio <= 0.1),
+        "ok_alpha_words": (n_tok > 0) & (alpha_frac >= 0.8),
+        "ok_stopwords": stopword_hits(text) >= 2,
+    }
+    keep = None
+    for f in flags.values():
+        keep = f if keep is None else (keep & f)
+    out = {
+        "n_tokens": n_tok.cast("long"),
+        "mean_word_len": F.round(mwl, 6),
+        "symbol_ratio": F.round(sym_ratio, 6),
+        "alpha_word_frac": F.round(alpha_frac, 6),
+    }
+    out.update({k: v.cast("int") for k, v in flags.items()})
+    out["keep"] = keep.cast("int")
+    return out
+
+
 def langid_col(text: Column) -> Column:
     """n-gram-free marker-word language ID; ties resolve in the fixed
     order en > de > es > fr, no hits => 'und'."""

@@ -518,10 +518,11 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.lsh_candidate_pairs(sigs).orderBy("id_a", "id_b")
 
 
-@q(
-    "dedup_lsh_clusters",
-    f"""
-    WITH RECURSIVE sh AS (
+# shared LSH connected-components CTE chain; used by dedup_lsh_clusters
+# and dedup_keep_canonical so the clustering spec cannot drift between
+# oracles. Ends with reach(id, lab); min(lab) per id is the cluster id.
+_SQL_LSH_CC_CTES = f"""
+    sh AS (
       SELECT doc_id, {_SQL_SHINGLE_HASHES} AS sh FROM documents
     ), sig AS (
       SELECT doc_id, {_sql_minhash_select()} FROM sh WHERE len(sh) > 0
@@ -554,6 +555,13 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION
       SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.id
     )
+"""
+
+
+@q(
+    "dedup_lsh_clusters",
+    f"""
+    WITH RECURSIVE {_SQL_LSH_CC_CTES}
     SELECT id AS doc_id, min(lab) AS cluster_id
     FROM reach GROUP BY id ORDER BY doc_id
     """,
@@ -1688,4 +1696,287 @@ def doc_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_rate"),
         )
         .orderBy("doc_id")
+    )
+
+
+@q(
+    "dedup_keep_canonical",
+    f"""
+    WITH RECURSIVE {_SQL_LSH_CC_CTES},
+    clus AS (
+      SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id
+    ),
+    all_docs AS (
+      SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+      FROM documents d LEFT JOIN clus c USING (doc_id)
+    ),
+    g AS (
+      SELECT cluster_id, count(*) AS cluster_size, sum(n_chars) AS total_chars
+      FROM all_docs GROUP BY 1
+    )
+    SELECT g.cluster_id AS kept_doc_id,
+           CAST(g.cluster_size AS BIGINT) AS cluster_size,
+           CAST(g.cluster_size - 1 AS BIGINT) AS dups_removed,
+           CAST(g.total_chars - d.n_chars AS BIGINT) AS chars_removed
+    FROM g JOIN documents d ON d.doc_id = g.cluster_id
+    ORDER BY kept_doc_id
+    """,
+    "end-to-end near-dup removal: LSH clusters -> keep the min-doc_id "
+    "representative per cluster (docs too short to shingle survive as "
+    "singletons) -> per-kept-doc dups_removed and chars_removed; the "
+    "materialized 'surviving corpus' view a training pipeline consumes",
+)
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-representative selection over the LSH near-dup
+    clusters. cluster_id from dedup_clusters is the component-min
+    doc_id, so the representative needs no extra pass — the rollup is
+    one groupBy(cluster_id) plus a join back to fetch the kept doc's
+    n_chars. Scale shape: everything keys on doc_id/cluster_id hashes;
+    document text never shuffles."""
+    from ..engine.driver import _checkpointed
+
+    d = t(spark, sf_dir, "documents")
+    sigs = _checkpointed(DD.minhash_signatures(d))
+    pairs = DD.lsh_candidate_pairs(sigs).filter(F.col("est_jaccard") >= 0.5)
+    clusters = DD.dedup_clusters(pairs, sigs)
+    labeled = (
+        d.select("doc_id", "n_chars")
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+            "n_chars",
+        )
+    )
+    g = labeled.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    return (
+        g.join(
+            d.select(F.col("doc_id").alias("cluster_id"), F.col("n_chars").alias("kept_chars")),
+            "cluster_id",
+        )
+        .select(
+            F.col("cluster_id").alias("kept_doc_id"),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            (F.col("cluster_size") - 1).cast("long").alias("dups_removed"),
+            (F.col("total_chars") - F.col("kept_chars")).cast("long").alias("chars_removed"),
+        )
+        .orderBy("kept_doc_id")
+    )
+
+
+@q(
+    "doc_gopher_quality_filter",
+    f"""
+    WITH f AS (
+      SELECT doc_id, text,
+             {SQL_TOKENS} AS toks,
+             CAST(len({SQL_TOKENS}) AS DOUBLE) AS n_tok,
+             CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
+             CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS n_ell
+      FROM documents
+    ), m AS (
+      SELECT doc_id, n_tok,
+             CASE WHEN n_tok > 0
+                  THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / n_tok
+                  ELSE 0.0 END AS mwl,
+             CASE WHEN n_tok > 0
+                  THEN CAST(n_hash + n_ell AS DOUBLE) / n_tok ELSE 1.0 END AS sym,
+             CASE WHEN n_tok > 0
+                  THEN CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / n_tok
+                  ELSE 0.0 END AS alpha,
+             len(list_filter(toks, x -> x IN ('the','a','of','and','to','in'))) AS sw
+      FROM f
+    )
+    SELECT doc_id,
+           CAST(n_tok AS BIGINT) AS n_tokens,
+           round(mwl, 6) AS mean_word_len,
+           round(sym, 6) AS symbol_ratio,
+           round(alpha, 6) AS alpha_word_frac,
+           CAST(CASE WHEN n_tok >= 10 AND n_tok <= 100000 THEN 1 ELSE 0 END AS INT) AS ok_n_tokens,
+           CAST(CASE WHEN n_tok > 0 AND mwl >= 3 AND mwl <= 10 THEN 1 ELSE 0 END AS INT) AS ok_mean_word_len,
+           CAST(CASE WHEN n_tok > 0 AND sym <= 0.1 THEN 1 ELSE 0 END AS INT) AS ok_symbol_ratio,
+           CAST(CASE WHEN n_tok > 0 AND alpha >= 0.8 THEN 1 ELSE 0 END AS INT) AS ok_alpha_words,
+           CAST(CASE WHEN sw >= 2 THEN 1 ELSE 0 END AS INT) AS ok_stopwords,
+           CAST(CASE WHEN n_tok >= 10 AND n_tok <= 100000
+                      AND n_tok > 0 AND mwl >= 3 AND mwl <= 10
+                      AND sym <= 0.1 AND alpha >= 0.8 AND sw >= 2
+                     THEN 1 ELSE 0 END AS INT) AS keep
+    FROM m ORDER BY doc_id
+    """,
+    "Gopher-style quality rule gate (Rae et al. 2021, public): token-"
+    "count bounds, mean word length 3-10, #/ellipsis symbol ratio, "
+    "alphabetic-word fraction, stopword floor — per-rule 0/1 flags + "
+    "composite keep; one Catalyst projection, no shuffle, no UDF",
+)
+def doc_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based quality gate a pretraining pipeline runs before any
+    model-based filter. Spec lives in functions/text.py gopher_cols
+    (normative; the oracle mirrors it verbatim). At 100 TB this is a
+    pure map stage — flags computed in whole-stage codegen, filter
+    pushes to the scan when only keep=1 rows are consumed downstream."""
+    d = t(spark, sf_dir, "documents")
+    cols = X.gopher_cols(F.col("text"))
+    return d.select("doc_id", *[v.alias(k) for k, v in cols.items()]).orderBy("doc_id")
+
+
+@q(
+    "crawl_snapshot_delta",
+    """
+    WITH old AS (
+      SELECT doc_id, md5(text) AS h
+      FROM documents WHERE doc_id % 5 <> 4
+    ), new AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 3 = 0 THEN text || ' updated' ELSE text END) AS h
+      FROM documents WHERE doc_id % 7 <> 6
+    )
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.h <> n.h THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    ORDER BY doc_id
+    """,
+    "incremental recrawl diff: two deterministic snapshot views of the "
+    "corpus (drop-by-modulus + planted text mutations), full outer join "
+    "on doc_id comparing md5 digests -> added/removed/changed/unchanged; "
+    "only 16-byte hashes shuffle, never document text",
+)
+def crawl_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot change detection — the operator an
+    incremental recrawl scheduler runs to decide what to refetch. The
+    two snapshots are derived deterministically from the documents
+    table (old drops doc_id%5==4, new drops doc_id%7==6 and mutates
+    doc_id%3==0) so the query needs no external data. Scale shape: each
+    side reduces to (doc_id, md5) before the join, so the shuffle
+    carries 24 bytes/row regardless of document size; at 100 TB the
+    digests would be precomputed at ingest and the scan never touches
+    text at all."""
+    d = t(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 5 != 4).select(
+        "doc_id", F.md5(F.col("text")).alias("h_old")
+    )
+    new = d.filter(F.col("doc_id") % 7 != 6).select(
+        "doc_id",
+        F.md5(
+            F.when(F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(" updated")))
+            .otherwise(F.col("text"))
+        ).alias("h_new"),
+    )
+    j = old.join(new, "doc_id", "full_outer")
+    return (
+        j.select(
+            "doc_id",
+            F.when(F.col("h_old").isNull(), F.lit("added"))
+            .when(F.col("h_new").isNull(), F.lit("removed"))
+            .when(F.col("h_old") != F.col("h_new"), F.lit("changed"))
+            .otherwise(F.lit("unchanged"))
+            .alias("status"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@q(
+    "embedding_scalar_quantize",
+    """
+    WITH ex AS (
+      SELECT vec_id,
+             CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ), st AS (
+      SELECT dim, min(v) AS mn, max(v) AS mx FROM ex GROUP BY 1
+    )
+    SELECT vec_id, ex.dim,
+           CAST(CASE WHEN mx > mn THEN round(127.0 * (v - mn) / (mx - mn))
+                     ELSE 0 END AS BIGINT) AS q
+    FROM ex JOIN st USING (dim)
+    ORDER BY vec_id, dim
+    """,
+    "int8 scalar quantization of the embedding column: per-dimension "
+    "corpus min/max -> code round(127*(v-mn)/(mx-mn)); the stats table "
+    "is dim-bounded (broadcasts at any corpus size), quantization itself "
+    "is map-side — the vector-compression step before ANN index storage",
+)
+def embedding_scalar_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension min/max scalar quantization (the storage-compression
+    path for ANN indexes — 4 bytes/dim float32 -> 1 byte/dim int8).
+    Scale shape: one shuffle builds the 64-row per-dim stats, which then
+    BROADCAST to the quantization projection; no per-row Python, no
+    second shuffle. min/max over exact float32 values casts to double
+    losslessly, so engine and oracle round the identical double."""
+    e = t(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("dim", "v")
+    ).select("vec_id", F.col("dim").cast("long").alias("dim"), F.col("v").cast("double").alias("v"))
+    st = ex.groupBy("dim").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    return (
+        ex.join(F.broadcast(st), "dim")
+        .select(
+            "vec_id",
+            "dim",
+            F.when(
+                F.col("mx") > F.col("mn"),
+                F.round(F.lit(127.0) * (F.col("v") - F.col("mn")) / (F.col("mx") - F.col("mn")), 0),
+            )
+            .otherwise(F.lit(0.0))
+            .cast("long")
+            .alias("q"),
+        )
+        .orderBy("vec_id", "dim")
+    )
+
+
+@q(
+    "doc_lang_token_budget",
+    f"""
+    WITH g AS (
+      SELECT lang, count(*) AS n_docs,
+             sum(len({SQL_TOKENS})) AS total_tokens
+      FROM documents GROUP BY 1
+    )
+    SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(total_tokens AS BIGINT) AS total_tokens,
+           round(CAST(total_tokens AS DOUBLE) / sum(total_tokens) OVER (), 6) AS token_share,
+           round(CAST(sum(total_tokens) OVER (ORDER BY total_tokens DESC, lang) AS DOUBLE)
+                 / sum(total_tokens) OVER (), 6) AS cum_share
+    FROM g ORDER BY total_tokens DESC, lang
+    """,
+    "per-language token budget: token totals, corpus share, cumulative "
+    "share in descending-volume order (lang tie-break) — the allocation "
+    "table a multilingual sampling mix is tuned against; the window runs "
+    "over the language-cardinality-bounded aggregate, never over rows",
+)
+def doc_lang_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-level token accounting for mix design. The per-doc token
+    count reduces map-side into the groupBy(lang); the share/cumulative
+    windows run on the aggregated table (rows == n_languages, a few
+    dozen at web scale), so the unpartitioned window is bounded by
+    construction — not a scale hazard."""
+    d = t(spark, sf_dir, "documents")
+    g = d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(X.token_count(F.col("text"))).alias("total_tokens"),
+    )
+    w_all = Window.partitionBy()
+    w_cum = Window.partitionBy().orderBy(F.desc("total_tokens"), F.asc("lang")) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        g.select(
+            "lang",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("total_tokens").cast("long").alias("total_tokens"),
+            F.round(F.col("total_tokens").cast("double") / F.sum("total_tokens").over(w_all), 6).alias("token_share"),
+            F.round(
+                F.sum("total_tokens").over(w_cum).cast("double")
+                / F.sum("total_tokens").over(w_all),
+                6,
+            ).alias("cum_share"),
+        )
+        .orderBy(F.desc("total_tokens"), F.asc("lang"))
     )

@@ -468,3 +468,45 @@ def test_vocab_oov_topk_is_take_ordered_and_broadcast_probe(spark):
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_gopher_filter_is_pure_projection(spark):
+    """The Gopher rule gate must be one Catalyst projection over the
+    scan — no Python eval, no join, no aggregation exchange (the only
+    exchange is the final presentation sort)."""
+    from crawler_spark.plans.queries_docs import doc_gopher_quality_filter
+
+    plan = _plan(doc_gopher_quality_filter(spark, "/root/testdata/sf0.001"))
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+
+
+def test_snapshot_delta_joins_digests_not_text(spark):
+    """The recrawl diff must full-outer-join on doc_id carrying only
+    md5 digests — the text column must not survive into the join
+    (project-before-shuffle), and no nested-loop stage may appear."""
+    from crawler_spark.plans.queries_docs import crawl_snapshot_delta
+
+    df = crawl_snapshot_delta(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+    # the join itself sees (doc_id, hash) pairs only
+    import re
+    joins = [ln for ln in plan.splitlines() if "SortMergeJoin" in ln or "ShuffledHashJoin" in ln]
+    assert joins and all("text" not in ln for ln in joins)
+
+
+def test_scalar_quantize_broadcasts_dim_stats(spark):
+    """int8 quantization: the per-dim min/max stats table is dim-bounded
+    and must broadcast to the quantization projection (never a shuffled
+    join of the exploded rows against the stats)."""
+    from crawler_spark.plans.queries_docs import embedding_scalar_quantize
+
+    plan = _plan(embedding_scalar_quantize(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+    assert "Generate" in plan  # posexplode stays JVM-side
