@@ -78,6 +78,8 @@ BENCH_QUERIES = [
     "dedup_keep_canonical", "doc_gopher_quality_filter",
     "crawl_snapshot_delta", "embedding_scalar_quantize",
     "doc_lang_token_budget",
+    "dedup_incremental_lsh_gate", "doc_cms_heavy_hitters",
+    "doc_weighted_sample", "ann_quality_gated_topk",
 ]
 
 # fat-wave corpus: ONE list page per section so the crawl is 2 waves

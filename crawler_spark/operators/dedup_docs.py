@@ -61,6 +61,22 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
 LSH_MAX_BUCKET = 1000  # hot-bucket cap, mirrored engine <-> oracle
 
 
+def _band_buckets(sigs: DataFrame, id_col: str, bands: int, rows: int) -> DataFrame:
+    """Unpivot (id, mh0..mh{bands*rows-1}) to one row per band with a
+    band-prefixed bucket key ('b_mhX_mhY'); shared by the self-join and
+    incremental LSH paths so the banding spec cannot drift."""
+    band_keys = [
+        F.concat_ws("_", F.lit(b), *[F.col(f"mh{b * rows + r}") for r in range(rows)]).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    keyed = sigs.select(id_col, *[F.col(f"mh{i}") for i in range(bands * rows)], *band_keys)
+    return keyed.unpivot(
+        [id_col] + [f"mh{i}" for i in range(bands * rows)],
+        [f"band{b}" for b in range(bands)],
+        "band", "bucket",
+    )
+
+
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
                         bands: int = 4, rows: int = 2,
                         max_bucket: int | None = LSH_MAX_BUCKET) -> DataFrame:
@@ -79,16 +95,7 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
     oracle mirrors the cap (QUALIFY over the bucket key). Set the
     ``CRAWLER_SPARK_VERBOSE`` env var to log dropped buckets (the count
     is an extra action, so it is not computed silently in benches)."""
-    band_keys = [
-        F.concat_ws("_", F.lit(b), *[F.col(f"mh{b * rows + r}") for r in range(rows)]).alias(f"band{b}")
-        for b in range(bands)
-    ]
-    keyed = sigs.select(id_col, *[F.col(f"mh{i}") for i in range(bands * rows)], *band_keys)
-    bucketed = keyed.unpivot(
-        [id_col] + [f"mh{i}" for i in range(bands * rows)],
-        [f"band{b}" for b in range(bands)],
-        "band", "bucket",
-    )
+    bucketed = _band_buckets(sigs, id_col, bands, rows)
     if max_bucket is not None:
         hot = bucketed.groupBy("bucket").agg(F.count("*").alias("members")).filter(
             F.col("members") > max_bucket
@@ -120,6 +127,65 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.round(matches / F.lit(float(bands * rows)), 6).alias("est_jaccard"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def lsh_incremental_matches(new_sigs: DataFrame, old_sigs: DataFrame,
+                            id_col: str = "doc_id", bands: int = 4,
+                            rows: int = 2, threshold: float = 0.5,
+                            max_bucket: int | None = LSH_MAX_BUCKET
+                            ) -> DataFrame:
+    """(doc_id, dup_of, est_jaccard): for each NEW doc, the minimum old
+    doc id sharing >=1 band bucket with est_jaccard >= threshold — the
+    production incremental-dedup shape: a batch of new documents is
+    probed against the existing corpus's LSH index, never self-joined.
+
+    Scale shape: the old side IS the persisted band-bucket index (at
+    100 TB it is bucketed-by-bucket on disk and only re-read, never
+    rebuilt); the join is new-bands x old-bands on the bucket key, so
+    cost is proportional to the NEW batch, not the corpus. The hot-
+    bucket cap applies to the index side (a degenerate bucket with
+    > max_bucket existing members is boilerplate, not near-dup signal),
+    mirrored in the oracle. New docs with no qualifying match — or too
+    short to shingle — simply do not appear; the query layer left-joins
+    them back as is_dup=0."""
+    bnew = _band_buckets(new_sigs, id_col, bands, rows)
+    bold = _band_buckets(old_sigs, id_col, bands, rows)
+    if max_bucket is not None:
+        hot = (
+            bold.groupBy("bucket").agg(F.count("*").alias("members"))
+            .filter(F.col("members") > max_bucket)
+        )
+        bold = bold.join(hot.select("bucket"), "bucket", "left_anti")
+    n = bnew.select(
+        "bucket", F.col(id_col).alias("new_id"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(bands * rows)],
+    )
+    o = bold.select(
+        "bucket", F.col(id_col).alias("old_id"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(bands * rows)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(bands * rows)
+    )
+    pairs = (
+        n.join(o, "bucket")
+        .select(
+            "new_id", "old_id",
+            F.round(matches / F.lit(float(bands * rows)), 6).alias("est"),
+        )
+        .filter(F.col("est") >= threshold)
+    )
+    # arg-min on old_id: ties in est are irrelevant (est is a pure
+    # function of the two signatures, so duplicate band hits agree)
+    best = pairs.groupBy("new_id").agg(
+        F.min(F.struct("old_id", "est")).alias("m")
+    )
+    return best.select(
+        F.col("new_id").alias(id_col),
+        F.col("m.old_id").alias("dup_of"),
+        F.col("m.est").alias("est_jaccard"),
     )
 
 

@@ -1767,10 +1767,11 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q(
-    "doc_gopher_quality_filter",
-    f"""
-    WITH f AS (
+# shared Gopher-rule CTE chain (f -> m with per-doc rule inputs) and the
+# composite keep predicate; used by doc_gopher_quality_filter and
+# ann_quality_gated_topk so the gate spec cannot drift between oracles
+_SQL_GOPHER_CTES = f"""
+    f AS (
       SELECT doc_id, text,
              {SQL_TOKENS} AS toks,
              CAST(len({SQL_TOKENS}) AS DOUBLE) AS n_tok,
@@ -1790,6 +1791,18 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
              len(list_filter(toks, x -> x IN ('the','a','of','and','to','in'))) AS sw
       FROM f
     )
+"""
+
+_SQL_GOPHER_KEEP = (
+    "n_tok >= 10 AND n_tok <= 100000 AND n_tok > 0 AND mwl >= 3 AND mwl <= 10 "
+    "AND sym <= 0.1 AND alpha >= 0.8 AND sw >= 2"
+)
+
+
+@q(
+    "doc_gopher_quality_filter",
+    f"""
+    WITH {_SQL_GOPHER_CTES}
     SELECT doc_id,
            CAST(n_tok AS BIGINT) AS n_tokens,
            round(mwl, 6) AS mean_word_len,
@@ -1800,10 +1813,7 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CASE WHEN n_tok > 0 AND sym <= 0.1 THEN 1 ELSE 0 END AS INT) AS ok_symbol_ratio,
            CAST(CASE WHEN n_tok > 0 AND alpha >= 0.8 THEN 1 ELSE 0 END AS INT) AS ok_alpha_words,
            CAST(CASE WHEN sw >= 2 THEN 1 ELSE 0 END AS INT) AS ok_stopwords,
-           CAST(CASE WHEN n_tok >= 10 AND n_tok <= 100000
-                      AND n_tok > 0 AND mwl >= 3 AND mwl <= 10
-                      AND sym <= 0.1 AND alpha >= 0.8 AND sw >= 2
-                     THEN 1 ELSE 0 END AS INT) AS keep
+           CAST(CASE WHEN {_SQL_GOPHER_KEEP} THEN 1 ELSE 0 END AS INT) AS keep
     FROM m ORDER BY doc_id
     """,
     "Gopher-style quality rule gate (Rae et al. 2021, public): token-"
@@ -1980,3 +1990,279 @@ def doc_lang_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("total_tokens"), F.asc("lang"))
     )
+
+
+@q(
+    "dedup_incremental_lsh_gate",
+    f"""
+    WITH sh_new AS (
+      SELECT doc_id, {_SQL_SHINGLE_HASHES} AS sh FROM documents WHERE doc_id % 5 = 4
+    ), sig_new AS (
+      SELECT doc_id, {_sql_minhash_select()} FROM sh_new WHERE len(sh) > 0
+    ), sh_old AS (
+      SELECT doc_id, {_SQL_SHINGLE_HASHES} AS sh FROM documents WHERE doc_id % 5 <> 4
+    ), sig_old AS (
+      SELECT doc_id, {_sql_minhash_select()} FROM sh_old WHERE len(sh) > 0
+    ), bnew AS (
+      SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7,
+             '0_' || mh0 || '_' || mh1 AS bucket FROM sig_new
+      UNION ALL SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7, '1_' || mh2 || '_' || mh3 FROM sig_new
+      UNION ALL SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7, '2_' || mh4 || '_' || mh5 FROM sig_new
+      UNION ALL SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7, '3_' || mh6 || '_' || mh7 FROM sig_new
+    ), bold0 AS (
+      SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7,
+             '0_' || mh0 || '_' || mh1 AS bucket FROM sig_old
+      UNION ALL SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7, '1_' || mh2 || '_' || mh3 FROM sig_old
+      UNION ALL SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7, '2_' || mh4 || '_' || mh5 FROM sig_old
+      UNION ALL SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7, '3_' || mh6 || '_' || mh7 FROM sig_old
+    ), bold AS (
+      SELECT * FROM bold0
+      QUALIFY count(*) OVER (PARTITION BY bucket) <= {DD.LSH_MAX_BUCKET}
+    ), m AS (
+      SELECT DISTINCT n.doc_id AS doc_id, o.doc_id AS old_id,
+             round(((CASE WHEN n.mh0=o.mh0 THEN 1 ELSE 0 END) + (CASE WHEN n.mh1=o.mh1 THEN 1 ELSE 0 END)
+                  + (CASE WHEN n.mh2=o.mh2 THEN 1 ELSE 0 END) + (CASE WHEN n.mh3=o.mh3 THEN 1 ELSE 0 END)
+                  + (CASE WHEN n.mh4=o.mh4 THEN 1 ELSE 0 END) + (CASE WHEN n.mh5=o.mh5 THEN 1 ELSE 0 END)
+                  + (CASE WHEN n.mh6=o.mh6 THEN 1 ELSE 0 END) + (CASE WHEN n.mh7=o.mh7 THEN 1 ELSE 0 END)
+                   ) / 8.0, 6) AS est
+      FROM bnew n JOIN bold o USING (bucket)
+    ), qual AS (
+      SELECT * FROM m WHERE est >= 0.5
+    ), g AS (
+      SELECT doc_id, min(old_id) AS dup_of FROM qual GROUP BY 1
+    ), ge AS (
+      SELECT g.doc_id, g.dup_of, min(q.est) AS est_jaccard
+      FROM g JOIN qual q ON q.doc_id = g.doc_id AND q.old_id = g.dup_of
+      GROUP BY 1, 2
+    )
+    SELECT d.doc_id,
+           CAST(CASE WHEN ge.dup_of IS NULL THEN 0 ELSE 1 END AS INT) AS is_dup,
+           ge.dup_of, ge.est_jaccard
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 4) d
+    LEFT JOIN ge USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+    "incremental near-dup gate — the production dedup shape: a NEW batch "
+    "of docs (doc_id%5=4) probed against the EXISTING corpus's LSH band "
+    "index (doc_id%5<>4), asymmetric bucket equi-join (cost proportional "
+    "to the new batch, never a corpus self-join), index-side hot-bucket "
+    "cap, arg-min dup_of per new doc, unmatched docs admitted as is_dup=0",
+)
+def dedup_incremental_lsh_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Admission gate for incremental corpus growth: each newly crawled
+    document is checked against the persisted LSH index of the corpus
+    built so far (at 100 TB the index is a bucketed table re-read per
+    batch, not rebuilt — mirroring the crawl loop's seen-URL gate, but
+    for near-dup text). See operators/dedup_docs.py
+    lsh_incremental_matches for the scale argument."""
+    d = t(spark, sf_dir, "documents")
+    new_docs = d.filter(F.col("doc_id") % 5 == 4)
+    old_docs = d.filter(F.col("doc_id") % 5 != 4)
+    hits = DD.lsh_incremental_matches(
+        DD.minhash_signatures(new_docs), DD.minhash_signatures(old_docs)
+    )
+    return (
+        new_docs.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("dup_of").isNull(), F.lit(0)).otherwise(F.lit(1))
+            .cast("int").alias("is_dup"),
+            "dup_of",
+            "est_jaccard",
+        )
+        .orderBy("doc_id")
+    )
+
+
+CMS_WIDTH = 512  # CountMin column count per hash row, mirrored in the oracle
+
+
+def _sql_cms_keyed(src: str) -> str:
+    """(term, h) -> one row per CMS hash row j with its column index."""
+    parts = []
+    for j, (a, b) in enumerate(X.MINHASH_PERMS[:4]):
+        parts.append(
+            f"SELECT term, {j} AS j, (({a} * h + {b}) % {MOD}) % {CMS_WIDTH} AS col FROM {src}"
+        )
+    return "\n      UNION ALL ".join(parts)
+
+
+@q(
+    "doc_cms_heavy_hitters",
+    f"""
+    WITH tokx AS (
+      SELECT unnest({SQL_TOKENS}) AS term FROM documents
+    ), th AS (
+      SELECT term, {sql_poly_hash('term')} AS h FROM tokx
+    ), keyed AS (
+      {_sql_cms_keyed('th')}
+    ), sketch AS (
+      SELECT j, col, count(*) AS c FROM keyed GROUP BY 1, 2
+    ), topt AS (
+      SELECT term, count(*) AS true_count FROM tokx GROUP BY 1
+      ORDER BY true_count DESC, term LIMIT 20
+    ), tt AS (
+      SELECT term, {sql_poly_hash('term')} AS h FROM topt
+    ), tkeys AS (
+      {_sql_cms_keyed('tt')}
+    )
+    SELECT t.term, CAST(t.true_count AS BIGINT) AS true_count,
+           CAST(min(s.c) AS BIGINT) AS est_count
+    FROM topt t JOIN tkeys k USING (term) JOIN sketch s USING (j, col)
+    GROUP BY 1, 2
+    ORDER BY true_count DESC, term
+    """,
+    "CountMin sketch heavy hitters: 4 hash rows x 512 columns (minhash "
+    "perm params reused as the row hashes), sketch built in one keyed "
+    "count shuffle, estimates = min over rows for the exact top-20 terms "
+    "— est >= true by construction; the sketch is size-bounded (4x512) "
+    "so it broadcasts to the probe at any corpus size",
+)
+def doc_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CountMin frequency sketch + heavy-hitter probe. The mergeable-
+    sketch family next to KMV (events_distinct_kmv): counts fold
+    map-side into the 4x512 table, so at 100 TB the shuffle moves at
+    most 2048 partial rows per map task regardless of token volume.
+    The probe side recomputes the 4 (row, col) keys for the exact
+    top-20 terms and takes min over rows; overestimation (never under)
+    is the CMS contract, visible as est_count >= true_count."""
+    d = t(spark, sf_dir, "documents")
+    tokx = d.select(F.explode(X.tokens(F.col("text"))).alias("term"))
+
+    def cms_keys(col_h):
+        return F.explode(F.array(*[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.pmod(F.pmod(F.lit(a) * col_h + F.lit(b), F.lit(MOD)), F.lit(CMS_WIDTH)).alias("col"),
+            )
+            for j, (a, b) in enumerate(X.MINHASH_PERMS[:4])
+        ]))
+
+    th = tokx.select("term", X.poly_hash(F.col("term")).alias("h"))
+    sketch = (
+        th.select(cms_keys(F.col("h")).alias("k"))
+        .select("k.j", "k.col")
+        .groupBy("j", "col")
+        .agg(F.count("*").alias("c"))
+    )
+    topt = (
+        tokx.groupBy("term").agg(F.count("*").alias("true_count"))
+        .orderBy(F.desc("true_count"), F.asc("term")).limit(20)
+    )
+    tkeys = topt.select(
+        "term", "true_count", cms_keys(X.poly_hash(F.col("term"))).alias("k")
+    ).select("term", "true_count", "k.j", "k.col")
+    return (
+        tkeys.join(F.broadcast(sketch), ["j", "col"])
+        .groupBy("term", "true_count")
+        .agg(F.min("c").cast("long").alias("est_count"))
+        .select("term", F.col("true_count").cast("long").alias("true_count"), "est_count")
+        .orderBy(F.desc("true_count"), F.asc("term"))
+    )
+
+
+@q(
+    "doc_weighted_sample",
+    f"""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(len({SQL_TOKENS}) AS DOUBLE) AS n_tok,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS DOUBLE) AS n_punct,
+             CAST(len(list_filter({SQL_TOKENS},
+                  x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE) AS sw
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             round(0.4 * least(1.0, n_tok / 100.0)
+                 + 0.3 * (1.0 - CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END)
+                 + 0.3 * least(1.0, 4.0 * CASE WHEN n_tok > 0 THEN sw / n_tok ELSE 0.0 END), 6)
+               AS quality_score,
+             CAST({sql_poly_hash("CAST(doc_id AS VARCHAR)")} % 1000000 AS DOUBLE) / 1000000.0 AS draw
+      FROM f
+    )
+    SELECT doc_id, round(draw, 6) AS draw, quality_score
+    FROM s WHERE draw < quality_score
+    ORDER BY doc_id
+    """,
+    "quality-weighted deterministic sampling: keep doc iff its poly-hash "
+    "uniform draw (pure function of doc_id — resumable, AQE-stable, no "
+    "rand()) falls below its quality score, i.e. P(keep) = quality; the "
+    "importance-sampling step that upweights clean text in a training mix",
+)
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic importance sampling by quality score (the
+    doc_quality_score spec is the weight). Like doc_stratified_sample
+    the draw is a pure function of doc_id, so the sample is identical
+    under retries, AQE re-plans, and resume — and the filter is a
+    shuffle-free scan projection at any scale."""
+    d = t(spark, sf_dir, "documents")
+    qc = X.quality_cols(F.col("text"))
+    draw = (
+        F.pmod(X.poly_hash(F.col("doc_id").cast("string")), F.lit(1000000))
+        .cast("double") / F.lit(1000000.0)
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.round(draw, 6).alias("draw"),
+            qc["quality_score"].alias("quality_score"),
+            draw.alias("_draw_raw"),
+        )
+        .where(F.col("_draw_raw") < F.col("quality_score"))
+        .drop("_draw_raw")
+        .orderBy("doc_id")
+    )
+
+
+@q(
+    "ann_quality_gated_topk",
+    f"""
+    WITH {_SQL_GOPHER_CTES},
+    kept AS (
+      SELECT doc_id FROM m WHERE {_SQL_GOPHER_KEEP}
+    ), qv AS (
+      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q
+      FROM embeddings WHERE vec_id = 0
+    ), e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings JOIN kept ON kept.doc_id = embeddings.vec_id
+      WHERE vec_id <> 0
+    ), scored AS (
+      SELECT vec_id,
+             round(
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(generate_series(1, len(v)), i -> v[i] * q[i])), (s, x) -> s + x)
+               / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list_transform(v, x -> x * x)), (s, x) -> s + x))
+                * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list_transform(q, x -> x * x)), (s, x) -> s + x))), 6) AS sim
+      FROM e, qv
+    )
+    SELECT vec_id, sim,
+           CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS INT) AS rank
+    FROM scored ORDER BY sim DESC, vec_id LIMIT 10
+    """,
+    "pipeline composition: Gopher quality gate -> ANN — cosine top-10 "
+    "restricted to documents that pass the rule filter (embeddings "
+    "semi-joined on the kept doc ids before scoring); the filter-then-"
+    "search shape every retrieval-augmented training pipeline runs",
+)
+def ann_quality_gated_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition query: the quality gate's kept set prunes the ANN
+    candidate space BEFORE any vector math (left-semi join on doc_id —
+    embeddings of dropped docs are never scored). At 100 TB the gate is
+    a map-side flag already materialized at ingest; the semi-join keys
+    on the 8-byte id, so the expensive column (the vector) only flows
+    for survivors."""
+    d = t(spark, sf_dir, "documents")
+    e = t(spark, sf_dir, "embeddings")
+    kept = d.select(
+        "doc_id", X.gopher_cols(F.col("text"))["keep"].alias("keep")
+    ).filter(F.col("keep") == 1).select("doc_id")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    gated = e.join(
+        kept.withColumnRenamed("doc_id", "vec_id"), "vec_id", "left_semi"
+    ).filter(F.col("vec_id") != 0)
+    return SIM.brute_force_topk(gated, qvec, k=10).orderBy("rank")

@@ -510,3 +510,37 @@ def test_scalar_quantize_broadcasts_dim_stats(spark):
     assert "BroadcastHashJoin" in plan
     assert "EvalPython" not in plan
     assert "Generate" in plan  # posexplode stays JVM-side
+
+
+def test_incremental_gate_is_asymmetric_equi_join(spark):
+    """The incremental dedup gate must meet new-vs-old candidates in a
+    bucket hash equi-join (no cartesian/nested-loop), and the signature
+    passes are the only Arrow stages."""
+    from crawler_spark.plans.queries_docs import dedup_incremental_lsh_gate
+
+    plan = _plan(dedup_incremental_lsh_gate(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_cms_sketch_broadcasts_to_probe(spark):
+    """The 4x512 CMS table must broadcast to the heavy-hitter probe, the
+    top-20 must be TakeOrderedAndProject, and no Python eval appears."""
+    from crawler_spark.plans.queries_docs import doc_cms_heavy_hitters
+
+    plan = _plan(doc_cms_heavy_hitters(spark, "/root/testdata/sf0.001"))
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_weighted_sample_is_scan_filter(spark):
+    """Quality-weighted sampling must stay a shuffle-free scan+filter
+    (pure function of doc_id and text; no join, no aggregation)."""
+    from crawler_spark.plans.queries_docs import doc_weighted_sample
+
+    plan = _plan(doc_weighted_sample(spark, "/root/testdata/sf0.001"))
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
