@@ -80,6 +80,8 @@ BENCH_QUERIES = [
     "doc_lang_token_budget",
     "dedup_incremental_lsh_gate", "doc_cms_heavy_hitters",
     "doc_weighted_sample", "ann_quality_gated_topk",
+    "warc_record_roundtrip", "docs_anchor_text_agg", "doc_unicode_clean",
+    "events_retention_cohorts", "doc_train_split", "embedding_dim_stats",
 ]
 
 # fat-wave corpus: ONE list page per section so the crawl is 2 waves

@@ -1,0 +1,375 @@
+"""Query registry, part 4: crawl-archive and training-pipeline operators.
+
+Six operators a Common-Crawl-style production pipeline runs between the
+fetch loop and the training job — none exist in the reference
+(anxiangyipiao/crawler stops at item extraction, `pipelines.py:9-12`),
+but each is a standard stage of the web-text path the task brief makes
+first-class:
+
+- ``warc_record_roundtrip`` — WARC-style archive write + parse as one
+  graded round trip: documents are serialized into multi-record
+  response archives (header block, ``Content-Length``, CRLF framing),
+  then parsed back by a **length-driven** record scanner in
+  ``mapInPandas`` (never split-on-marker — payload bytes may contain
+  the magic).  The oracle recomputes (url, content_length, payload
+  md5) analytically from ``documents``, so a single byte lost at any
+  framing boundary is a hash mismatch.  At 100 TB this is the WARC
+  reader: one archive blob per task, sequential scan, zero shuffle.
+- ``docs_anchor_text_agg`` — inbound anchor-text aggregation over the
+  deterministic link graph (same edge formula as
+  ``docs_link_pagerank``): per target page, in-link count, distinct
+  source count, and the lexicographic anchor extrema.  The classic
+  web-search signal build: one shuffle on ``dst``, anchor text carried
+  as a 24-byte prefix, never the full source page.
+- ``doc_unicode_clean`` — whitespace normalization as a verified
+  round trip: deterministic noise (tabs/CR/LF runs) is injected around
+  a known token, then collapsed by the cleaner
+  (control-whitespace → space, multi-space → single, trim); the
+  oracle asserts the cleaned text is byte-identical (md5) to the
+  pristine original.  Pure Catalyst ``regexp_replace`` — no UDF.
+- ``events_retention_cohorts`` — weekly cohort retention: cohort =
+  Monday-truncated week of a user's first event, offset = weeks since
+  cohort, cell = distinct active users.  Two shuffles on ``user_id``
+  (first-seen agg + join back), then one on the cohort cell.
+- ``doc_train_split`` — deterministic hash split (train/valid/test =
+  80/10/10) keyed on ``md5(doc_id)`` — the same 60-bit md5→BIGINT
+  bridge as ``events_distinct_kmv`` so Spark and DuckDB bucket
+  identically — reported per (lang, split).  Split membership is a
+  pure function of the row, so it survives any repartitioning and
+  needs no stored assignment table.
+- ``embedding_dim_stats`` — per-dimension moment statistics (count,
+  Σ, Σ², min, max) over the embedding column for whitening /
+  normalization, in **exact scaled-integer** arithmetic (×10⁶) so the
+  shuffle's summation order cannot produce float drift.  The plan is
+  ``posexplode`` + one groupBy on the dimension index — shuffle
+  parallelism = vector width, each reducer sees n_rows values.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .queries import q, t
+from .queries_graph import PR_FANOUT, PR_MULT
+
+# --------------------------------------------------------------- WARC
+
+WARC_URL_PREFIX = "https://example.org/doc/"
+WARC_BUCKETS = 64  # archives per corpus (the sandbox stand-in for 1 GB files)
+
+
+def _parse_warc_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Length-driven WARC record scanner over whole-archive blobs.
+
+    Framing per record: header lines terminated by CRLFCRLF, payload of
+    exactly ``Content-Length`` bytes, then CRLFCRLF.  The scanner is
+    driven by Content-Length — a payload containing ``WARC/1.0`` cannot
+    desynchronize it.  Malformed archives raise (a torn archive is a
+    data-integrity incident, not a row to skip).
+    """
+    for pdf in batches:
+        urls, lens, md5s = [], [], []
+        for blob in pdf["archive"]:
+            buf = bytes(blob)
+            pos = 0
+            while pos < len(buf):
+                hdr_end = buf.index(b"\r\n\r\n", pos)
+                header = buf[pos:hdr_end].decode("utf-8")
+                fields = {}
+                for line in header.split("\r\n")[1:]:  # [0] is WARC/1.0
+                    k, _, v = line.partition(": ")
+                    fields[k] = v
+                clen = int(fields["Content-Length"])
+                payload = buf[hdr_end + 4 : hdr_end + 4 + clen]
+                if len(payload) != clen:
+                    raise ValueError("torn WARC payload")
+                urls.append(fields["WARC-Target-URI"])
+                lens.append(clen)
+                md5s.append(hashlib.md5(payload).hexdigest())
+                pos = hdr_end + 4 + clen
+                if buf[pos : pos + 4] != b"\r\n\r\n":
+                    raise ValueError("missing record trailer")
+                pos += 4
+        yield pd.DataFrame(
+            {"url": urls, "content_length": lens, "payload_md5": md5s}
+        )
+
+
+@q(
+    "warc_record_roundtrip",
+    f"""
+    SELECT '{WARC_URL_PREFIX}' || CAST(doc_id AS VARCHAR) AS url,
+           strlen(text)                                   AS content_length,
+           md5(text)                                      AS payload_md5
+    FROM documents
+    ORDER BY url
+    """,
+    "training-pipeline: WARC archive serialize + length-driven parse round trip",
+)
+def warc_record_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    rec = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+        F.lit(WARC_URL_PREFIX), F.col("doc_id").cast("string"),
+        F.lit("\r\nContent-Length: "), F.octet_length("text").cast("string"),
+        F.lit("\r\n\r\n"), F.col("text"), F.lit("\r\n\r\n"),
+    )
+    archives = (
+        d.select((F.col("doc_id") % WARC_BUCKETS).alias("bucket"),
+                 F.struct("doc_id", rec.alias("rec")).alias("r"))
+        .groupBy("bucket")
+        .agg(F.array_sort(F.collect_list("r")).alias("recs"))
+        .select(
+            F.encode(
+                F.aggregate(
+                    "recs", F.lit(""), lambda acc, x: F.concat(acc, x["rec"])
+                ),
+                "utf-8",
+            ).alias("archive")
+        )
+    )
+    parsed = archives.mapInPandas(
+        _parse_warc_batches, "url string, content_length long, payload_md5 string"
+    )
+    return parsed.select(
+        "url", "content_length", "payload_md5"
+    ).orderBy("url")
+
+
+# ------------------------------------------------------- anchor text
+
+ANCHOR_LEN = 24
+
+
+@q(
+    "docs_anchor_text_agg",
+    f"""
+    WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    edges AS (
+      SELECT d.doc_id AS src,
+             (d.doc_id * {PR_MULT} + c.c) % (SELECT n FROM nn) AS dst,
+             substr(d.text, 1, {ANCHOR_LEN}) AS anchor
+      FROM documents d
+      CROSS JOIN (VALUES {", ".join(f"({c})" for c in PR_FANOUT)}) c(c)
+      WHERE (d.doc_id * {PR_MULT} + c.c) % (SELECT n FROM nn) <> d.doc_id
+        AND c.c <= 1 + d.doc_id % 3
+    )
+    SELECT dst, count(*) AS n_inlinks,
+           count(DISTINCT src) AS n_sources,
+           min(anchor) AS anchor_min, max(anchor) AS anchor_max
+    FROM edges
+    GROUP BY dst
+    ORDER BY dst
+    """,
+    "training-pipeline: inbound anchor-text aggregation over the link graph",
+)
+def docs_anchor_text_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    n = d.count()
+    edges = (
+        d.select(
+            F.col("doc_id").alias("src"),
+            F.substring("text", 1, ANCHOR_LEN).alias("anchor"),
+            F.explode(F.array(*[F.lit(c) for c in PR_FANOUT])).alias("c"),
+        )
+        .filter(F.col("c") <= 1 + F.col("src") % 3)
+        .withColumn("dst", (F.col("src") * PR_MULT + F.col("c")) % n)
+        .filter(F.col("dst") != F.col("src"))
+    )
+    return (
+        edges.groupBy("dst")
+        .agg(
+            F.count("*").alias("n_inlinks"),
+            F.countDistinct("src").alias("n_sources"),
+            F.min("anchor").alias("anchor_min"),
+            F.max("anchor").alias("anchor_max"),
+        )
+        .orderBy("dst")
+    )
+
+
+# ---------------------------------------------------- unicode clean
+
+NOISE_TOKEN = " table "
+NOISE_REPL = " \t\t table \r\n "  # whitespace-only expansion around the token
+
+
+@q(
+    "doc_unicode_clean",
+    r"""
+    WITH noisy AS (
+      SELECT doc_id, text,
+             replace(text, ' table ', ' ' || chr(9) || chr(9) || ' table '
+                     || chr(13) || chr(10) || ' ') AS dirty
+      FROM documents
+    )
+    SELECT doc_id,
+           strlen(dirty) AS dirty_len,
+           strlen(trim(regexp_replace(regexp_replace(dirty,
+                  '[\t\n\x0b\f\r]', ' ', 'g'), ' +', ' ', 'g'))) AS clean_len,
+           md5(trim(regexp_replace(regexp_replace(dirty,
+                  '[\t\n\x0b\f\r]', ' ', 'g'), ' +', ' ', 'g'))) AS clean_md5,
+           CAST(md5(trim(regexp_replace(regexp_replace(dirty,
+                  '[\t\n\x0b\f\r]', ' ', 'g'), ' +', ' ', 'g'))) = md5(text)
+                AS BIGINT) AS restored
+    FROM noisy
+    ORDER BY doc_id
+    """,
+    "training-pipeline: whitespace/control normalization, round-trip verified",
+)
+def doc_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    dirty = F.replace(F.col("text"), F.lit(NOISE_TOKEN), F.lit(NOISE_REPL))
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(dirty, "[\\t\\n\\x0B\\f\\r]", " "), " +", " "
+        )
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.octet_length(dirty).alias("dirty_len"),
+            F.octet_length(clean).alias("clean_len"),
+            F.md5(F.encode(clean, "utf-8")).alias("clean_md5"),
+            (F.md5(F.encode(clean, "utf-8")) == F.md5(F.encode("text", "utf-8")))
+            .cast("long")
+            .alias("restored"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ------------------------------------------------- retention cohorts
+
+
+@q(
+    "events_retention_cohorts",
+    """
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    )
+    SELECT strftime(f.cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', f.cohort_week,
+                          date_trunc('week', e.ts)) / 7 AS BIGINT) AS week_offset,
+           count(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN first_seen f USING (user_id)
+    GROUP BY f.cohort_week, week_offset
+    ORDER BY cohort_week, week_offset
+    """,
+    "training-pipeline/analytics: weekly cohort retention matrix",
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    return (
+        e.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.expr(
+                "CAST(datediff(date_trunc('week', ts), cohort_week) / 7 AS BIGINT)"
+            ).alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "n_users",
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+# ----------------------------------------------------- train split
+
+
+@q(
+    "doc_train_split",
+    """
+    SELECT lang,
+           CASE WHEN b < 80 THEN 'train'
+                WHEN b < 90 THEN 'valid' ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+    FROM (
+      SELECT lang, n_chars,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 100 AS b
+      FROM documents
+    )
+    GROUP BY lang, split
+    ORDER BY lang, split
+    """,
+    "training-pipeline: deterministic hash-keyed train/valid/test split",
+)
+def doc_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    # 60-bit md5 prefix -> BIGINT: the same bridge as events_distinct_kmv,
+    # identical in Spark's conv() and DuckDB's 0x-cast
+    b = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 100
+    )
+    split = (
+        F.when(b < 80, "train").when(b < 90, "valid").otherwise("test")
+    )
+    return (
+        d.select("lang", "n_chars", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("n_chars_total"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+# ------------------------------------------------ embedding dim stats
+
+DIM_SCALE = 1_000_000  # ×10⁶ scaled-integer moments: exact under reordering
+
+
+@q(
+    "embedding_dim_stats",
+    f"""
+    SELECT dim, count(*) AS n,
+           CAST(sum(s) AS BIGINT)     AS sum_e6,
+           CAST(sum(s * s) AS BIGINT) AS sumsq_e12,
+           min(s)     AS min_e6,
+           max(s)     AS max_e6
+    FROM (
+      SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * {DIM_SCALE})
+                  AS BIGINT) AS s
+      FROM embeddings
+    )
+    GROUP BY dim
+    ORDER BY dim
+    """,
+    "training-pipeline: per-dimension scaled-integer moments for whitening",
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    s = F.round(F.col("v").cast("double") * DIM_SCALE).cast("long")
+    return (
+        e.select(F.posexplode("embedding").alias("dim", "v"))
+        .select(F.col("dim").cast("long").alias("dim"), s.alias("s"))
+        .groupBy("dim")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("s").alias("sum_e6"),
+            F.sum(F.col("s") * F.col("s")).alias("sumsq_e12"),
+            F.min("s").alias("min_e6"),
+            F.max("s").alias("max_e6"),
+        )
+        .orderBy("dim")
+    )
