@@ -27,6 +27,7 @@ def _registry():
     from crawler_spark.plans import queries_docs as q2  # noqa: F401
     from crawler_spark.plans import queries_graph as q3  # noqa: F401
     from crawler_spark.plans import queries_pipeline as q4  # noqa: F401
+    from crawler_spark.plans import queries_quality as q5  # noqa: F401
     from crawler_spark.plans.queries import QUERIES
 
     return QUERIES

@@ -1,0 +1,449 @@
+"""Query registry, part 5: corpus-quality statistics and crawl-guard ops.
+
+Seven more operators a production web-text pipeline runs between crawl
+and training — none exist in the reference (it stops at item
+extraction, `pipelines.py:9-12`), but each is a standard stage of the
+LLM-data path the task brief makes first-class.  All seven are pure
+Catalyst (no Python UDFs): token streams via ``explode(split(...))``,
+statistics via built-in aggregates, so the hot path stays inside
+whole-stage codegen and every shuffle key is a bounded-cardinality
+column (token, lang, host, template).
+
+- ``doc_line_dedup`` — RefinedWeb-style line-level dedup: split each
+  document into fixed 10-token lines, keep each distinct line's copies
+  only in the lowest-doc_id document that contains it, report per-doc
+  kept-line fraction.  At 100 TB the only shuffle is the groupBy on the
+  line content (a bounded string); the text column itself never
+  shuffles twice.
+- ``doc_dsir_importance`` — DSIR (Data Selection with Importance
+  Resampling, Xie et al. 2023) weights: per-doc mean unigram
+  log-likelihood ratio between a target slice (lang='en') and the full
+  corpus, add-one smoothed.  The token-stats table is vocabulary-sized
+  → broadcast back to the token stream; the scalars (N_target, N_all,
+  |V|) ride a one-row broadcast crossJoin, so the plan is two
+  token-count shuffles + one doc-level aggregate regardless of corpus
+  size.
+- ``doc_token_entropy`` — per-doc Shannon entropy over the token
+  distribution and its exp (perplexity): the classic gibberish /
+  low-diversity filter.  groupBy (doc_id, token) then one doc-level
+  aggregate.
+- ``doc_zipf_slope`` — per-language Zipf exponent: regress ln(freq) on
+  ln(rank) over the language's token frequency table with the built-in
+  ``regr_slope`` aggregate (rank = row_number by freq desc, token asc
+  — fully deterministic).  Vocabulary-sized intermediate; a corpus
+  whose slope diverges from ~-1 is machine-generated or parsed wrong.
+- ``url_trap_templates`` — crawler-trap detection: normalize every
+  digit run in the URL path to ``{n}`` and count distinct URLs per
+  (host, template).  A template with an unbounded URL count is a
+  calendar/session-id trap the frontier must cap — the per-host guard
+  the reference's hand-written spiders never needed (their seed lists
+  are finite) but a 10^10-URL frontier cannot live without.  URLs are
+  synthesized deterministically from doc_id (three path shapes), so
+  the oracle recomputes them exactly.
+- ``host_boilerplate_prefix`` — shared-prefix boilerplate detection:
+  hash each document's first 8 tokens and report, per source, how many
+  documents share the most common prefix (navigation headers /
+  cookie banners show up as one dominant prefix hash per host).
+- ``events_value_mad_outliers`` — median/MAD robust outlier counts per
+  event type (|v - median| > 3·MAD): the telemetry sanity gate a
+  pipeline runs over its own metrics stream.  Exact ``median``
+  aggregate on both engines (interpolated 50th percentile).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .queries import q, t
+
+LINE_TOKENS = 10          # tokens per dedup "line" (documents carry no \n)
+TRAP_THRESHOLD = 50       # distinct URLs per (host, template) → trap
+PREFIX_TOKENS = 8         # boilerplate prefix length
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", F.explode(F.split("text", " ")).alias("tk"))
+    )
+
+
+# ----------------------------------------------------------- line dedup
+
+@q(
+    "doc_line_dedup",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ),
+    lines AS (
+      SELECT doc_id,
+             unnest(generate_series(
+               0, CAST(ceil(len(tk) / {LINE_TOKENS}.0) AS BIGINT) - 1)) AS i,
+             tk
+      FROM toks
+    ),
+    lined AS (
+      SELECT doc_id,
+             array_to_string(
+               tk[(i*{LINE_TOKENS}+1):(i*{LINE_TOKENS}+{LINE_TOKENS})], ' ') AS line
+      FROM lines
+    ),
+    firsts AS (SELECT line, min(doc_id) AS keep_doc FROM lined GROUP BY line)
+    SELECT l.doc_id,
+           count(*)                                               AS n_lines,
+           CAST(sum(CASE WHEN l.doc_id = f.keep_doc THEN 1 ELSE 0 END)
+                AS BIGINT)                                        AS kept_lines,
+           round(avg(CASE WHEN l.doc_id = f.keep_doc THEN 1.0 ELSE 0.0 END), 6)
+                                                                  AS kept_frac
+    FROM lined l JOIN firsts f USING (line)
+    GROUP BY l.doc_id
+    ORDER BY l.doc_id
+    """,
+    "training-pipeline: RefinedWeb-style line-level dedup (keep-first, per-doc fraction)",
+)
+def doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("tk")
+    )
+    # one row per fixed-size token window; the line string is the ONLY
+    # shuffled payload (groupBy line → min doc), never the full text
+    lined = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size("tk") / F.lit(LINE_TOKENS)).cast("long") - 1,
+                ),
+                lambda i: F.array_join(
+                    F.slice(F.col("tk"), i * LINE_TOKENS + 1, LINE_TOKENS), " "
+                ),
+            )
+        ).alias("line"),
+    )
+    firsts = lined.groupBy("line").agg(F.min("doc_id").alias("keep_doc"))
+    kept = F.when(F.col("doc_id") == F.col("keep_doc"), 1).otherwise(0)
+    return (
+        lined.join(firsts, "line")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(kept).alias("kept_lines"),
+            F.round(F.avg(kept.cast("double")), 6).alias("kept_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ----------------------------------------------------------------- DSIR
+
+@q(
+    "doc_dsir_importance",
+    """
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tk FROM documents
+    ),
+    bg AS (SELECT tk, CAST(count(*) AS DOUBLE) AS cb FROM tok GROUP BY tk),
+    tg AS (SELECT tk, CAST(count(*) AS DOUBLE) AS ct
+           FROM tok WHERE lang = 'en' GROUP BY tk),
+    consts AS (
+      SELECT CAST((SELECT count(*) FROM tok) AS DOUBLE)                  AS nb,
+             CAST((SELECT count(*) FROM tok WHERE lang = 'en') AS DOUBLE) AS nt,
+             CAST((SELECT count(DISTINCT tk) FROM tok) AS DOUBLE)         AS v
+    )
+    SELECT t.doc_id,
+           count(*) AS n_tokens,
+           round(avg(
+             ln((coalesce(g.ct, 0) + 1) / (c.nt + c.v))
+             - ln((b.cb + 1) / (c.nb + c.v))
+           ), 6) AS dsir_score
+    FROM tok t
+    JOIN bg b USING (tk)
+    LEFT JOIN tg g USING (tk)
+    CROSS JOIN consts c
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+    "training-pipeline: DSIR importance weights (target-vs-corpus unigram LLR, add-one smoothed)",
+)
+def doc_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = _tokens(spark, sf_dir)
+    bg = tok.groupBy("tk").agg(F.count("*").cast("double").alias("cb"))
+    tg = (
+        tok.filter(F.col("lang") == "en")
+        .groupBy("tk")
+        .agg(F.count("*").cast("double").alias("ct"))
+    )
+    consts = tok.agg(
+        F.count("*").cast("double").alias("nb"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("double")
+        .alias("nt"),
+        F.countDistinct("tk").cast("double").alias("v"),
+    )
+    # vocab-sized stats table + one-row consts: both broadcast, so the
+    # token stream shuffles exactly once (the final doc_id aggregate)
+    stats = bg.join(tg, "tk", "left")
+    s = (
+        F.log((F.coalesce(F.col("ct"), F.lit(0.0)) + 1) / (F.col("nt") + F.col("v")))
+        - F.log((F.col("cb") + 1) / (F.col("nb") + F.col("v")))
+    )
+    return (
+        tok.join(F.broadcast(stats), "tk")
+        .crossJoin(F.broadcast(consts))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"), F.round(F.avg(s), 6).alias("dsir_score"))
+        .orderBy("doc_id")
+    )
+
+
+# -------------------------------------------------------------- entropy
+
+@q(
+    "doc_token_entropy",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents
+    ),
+    cnt AS (SELECT doc_id, tk, count(*) AS c FROM tok GROUP BY doc_id, tk),
+    tot AS (SELECT doc_id, sum(c) AS n FROM cnt GROUP BY doc_id)
+    SELECT c.doc_id,
+           CAST(t.n AS BIGINT) AS n_tokens,
+           round(-sum((c.c * 1.0 / t.n) * ln(c.c * 1.0 / t.n)), 6) AS entropy,
+           round(exp(-sum((c.c * 1.0 / t.n) * ln(c.c * 1.0 / t.n))), 6)
+             AS perplexity
+    FROM cnt c JOIN tot t USING (doc_id)
+    GROUP BY c.doc_id, t.n
+    ORDER BY c.doc_id
+    """,
+    "training-pipeline: per-doc token-distribution entropy + perplexity (gibberish filter)",
+)
+def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cnt = (
+        _tokens(spark, sf_dir)
+        .groupBy("doc_id", "tk")
+        .agg(F.count("*").alias("c"))
+    )
+    # token counts per doc fit a window over doc_id — same shuffle key
+    # as the final aggregate, so Catalyst reuses the exchange
+    n = F.sum("c").over(Window.partitionBy("doc_id"))
+    p = F.col("c") / F.col("n")
+    return (
+        cnt.withColumn("n", n)
+        .groupBy("doc_id")
+        .agg(
+            F.first("n").cast("long").alias("n_tokens"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+            F.round(F.exp(-F.sum(p * F.log(p))), 6).alias("perplexity"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ----------------------------------------------------------------- Zipf
+
+@q(
+    "doc_zipf_slope",
+    """
+    WITH cnt AS (
+      SELECT lang, tk, count(*) AS c
+      FROM (SELECT lang, unnest(string_split(text, ' ')) AS tk FROM documents)
+      GROUP BY lang, tk
+    ),
+    ranked AS (
+      SELECT lang, c,
+             row_number() OVER (PARTITION BY lang ORDER BY c DESC, tk) AS r
+      FROM cnt
+    )
+    SELECT lang,
+           count(*) AS vocab,
+           round(regr_slope(ln(c * 1.0), ln(r * 1.0)), 6) AS zipf_slope
+    FROM ranked
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    "training-pipeline: per-language Zipf exponent (regr_slope on log-log rank/freq)",
+)
+def doc_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cnt = (
+        _tokens(spark, sf_dir)
+        .groupBy("lang", "tk")
+        .agg(F.count("*").alias("c"))
+    )
+    r = F.row_number().over(
+        Window.partitionBy("lang").orderBy(F.col("c").desc(), F.col("tk"))
+    )
+    return (
+        cnt.withColumn("r", r)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("vocab"),
+            F.round(
+                F.regr_slope(F.log(F.col("c").cast("double")),
+                             F.log(F.col("r").cast("double"))), 6
+            ).alias("zipf_slope"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------- trap guard
+
+# three deterministic path shapes per doc_id: a paginated template (the
+# trap — digit run per page), a bounded item template, and one static
+# path; the oracle recomputes the identical strings
+def _trap_path_sql() -> str:
+    return (
+        "CASE WHEN doc_id % 5 < 2 THEN 'page/' || CAST((doc_id * 7) % 1000 AS VARCHAR)"
+        "     WHEN doc_id % 5 < 4 THEN 'item/' || CAST(doc_id % 97 AS VARCHAR) || '/view'"
+        "     ELSE 'static/about' END"
+    )
+
+
+@q(
+    "url_trap_templates",
+    f"""
+    WITH urls AS (
+      SELECT source || '.example' AS host, {_trap_path_sql()} AS path
+      FROM documents
+    ),
+    tpl AS (
+      SELECT host, regexp_replace(path, '[0-9]+', '{{n}}', 'g') AS template,
+             path
+      FROM urls
+    )
+    SELECT host, template,
+           count(DISTINCT path)                        AS n_urls,
+           count(DISTINCT path) >= {TRAP_THRESHOLD}    AS is_trap
+    FROM tpl
+    GROUP BY host, template
+    ORDER BY host, template
+    """,
+    "crawl guard: per-host URL path-template explosion (calendar/session-id trap detection)",
+)
+def url_trap_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    path = (
+        F.when(
+            F.col("doc_id") % 5 < 2,
+            F.concat(F.lit("page/"), ((F.col("doc_id") * 7) % 1000).cast("string")),
+        )
+        .when(
+            F.col("doc_id") % 5 < 4,
+            F.concat(F.lit("item/"), (F.col("doc_id") % 97).cast("string"),
+                     F.lit("/view")),
+        )
+        .otherwise(F.lit("static/about"))
+    )
+    urls = d.select(
+        F.concat(F.col("source"), F.lit(".example")).alias("host"),
+        path.alias("path"),
+    )
+    tpl = urls.select(
+        "host",
+        F.regexp_replace("path", "[0-9]+", "{n}").alias("template"),
+        "path",
+    )
+    return (
+        tpl.groupBy("host", "template")
+        .agg(
+            F.countDistinct("path").alias("n_urls"),
+            (F.countDistinct("path") >= TRAP_THRESHOLD).alias("is_trap"),
+        )
+        .orderBy("host", "template")
+    )
+
+
+# ---------------------------------------------------- boilerplate prefix
+
+@q(
+    "host_boilerplate_prefix",
+    f"""
+    WITH pre AS (
+      SELECT source,
+             md5(array_to_string(string_split(text, ' ')[1:{PREFIX_TOKENS}], ' '))
+               AS p8
+      FROM documents
+    ),
+    cnt AS (SELECT source, p8, count(*) AS c FROM pre GROUP BY source, p8)
+    SELECT source,
+           CAST(sum(c) AS BIGINT)          AS n_docs,
+           count(*)                        AS n_prefixes,
+           max(c)                          AS max_shared,
+           round(max(c) * 1.0 / sum(c), 6) AS max_share
+    FROM cnt
+    GROUP BY source
+    ORDER BY source
+    """,
+    "training-pipeline: shared leading-token prefix detection (boilerplate headers per host)",
+)
+def host_boilerplate_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pre = t(spark, sf_dir, "documents").select(
+        "source",
+        F.md5(
+            F.array_join(F.slice(F.split("text", " "), 1, PREFIX_TOKENS), " ")
+        ).alias("p8"),
+    )
+    cnt = pre.groupBy("source", "p8").agg(F.count("*").alias("c"))
+    return (
+        cnt.groupBy("source")
+        .agg(
+            F.sum("c").alias("n_docs"),
+            F.count("*").alias("n_prefixes"),
+            F.max("c").alias("max_shared"),
+            F.round(F.max("c") / F.sum("c"), 6).alias("max_share"),
+        )
+        .orderBy("source")
+    )
+
+
+# ------------------------------------------------------- MAD outliers
+
+@q(
+    "events_value_mad_outliers",
+    """
+    WITH med AS (
+      SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, e.value, m.med,
+             median(abs(e.value - m.med))
+               OVER (PARTITION BY e.event_type) AS mad
+      FROM events e JOIN med m USING (event_type)
+    )
+    SELECT event_type,
+           count(*)                                            AS n,
+           round(any_value(med), 6)                            AS med,
+           round(any_value(mad), 6)                            AS mad,
+           CAST(sum(CASE WHEN abs(value - med) > 3 * mad THEN 1 ELSE 0 END)
+                AS BIGINT)                                     AS n_outliers
+    FROM dev
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    "pipeline telemetry: per-type median/MAD robust outlier counts",
+)
+def events_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "mad",
+        F.median(F.abs(F.col("value") - F.col("med"))).over(
+            Window.partitionBy("event_type")
+        ),
+    )
+    out = F.when(
+        F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad"), 1
+    ).otherwise(0)
+    return (
+        dev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.any_value("med"), 6).alias("med"),
+            F.round(F.any_value("mad"), 6).alias("mad"),
+            F.sum(out).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
