@@ -82,6 +82,9 @@ BENCH_QUERIES = [
     "doc_weighted_sample", "ann_quality_gated_topk",
     "warc_record_roundtrip", "docs_anchor_text_agg", "doc_unicode_clean",
     "events_retention_cohorts", "doc_train_split", "embedding_dim_stats",
+    "doc_line_dedup", "doc_dsir_importance", "doc_token_entropy",
+    "doc_zipf_slope", "url_trap_templates", "host_boilerplate_prefix",
+    "events_value_mad_outliers",
 ]
 
 # fat-wave corpus: ONE list page per section so the crawl is 2 waves
