@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "doc_line_dedup", "doc_dsir_importance", "doc_token_entropy",
     "doc_zipf_slope", "url_trap_templates", "host_boilerplate_prefix",
     "events_value_mad_outliers",
+    "doc_bpe_pair_stats", "doc_sampling_temperature", "docs_host_degree_stats",
 ]
 
 # fat-wave corpus: ONE list page per section so the crawl is 2 waves

@@ -447,3 +447,232 @@ def events_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ------------------------------------------------- BPE pair statistics
+
+TOP_PAIRS = 20
+
+
+@q(
+    "doc_bpe_pair_stats",
+    f"""
+    WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    pairs AS (
+      SELECT substr(w, i, 2) AS pair
+      FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+            FROM words WHERE len(w) >= 2)
+    )
+    SELECT pair, count(*) AS n
+    FROM pairs
+    GROUP BY pair
+    ORDER BY n DESC, pair ASC
+    LIMIT {TOP_PAIRS}
+    """,
+    "training-pipeline: BPE merge candidates — top adjacent symbol pairs within words",
+)
+def doc_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top adjacent character pairs inside words — the first merge
+    round of BPE tokenizer training, run corpus-wide.
+
+    The flatMap shape (word -> per-position pair) is the honest
+    distributed form: the only shuffle is the groupBy on the 2-char
+    pair (cardinality <= |alphabet|^2, so partial aggregation collapses
+    each map task's output to a few hundred rows regardless of corpus
+    size), and the top-k is TakeOrderedAndProject, never a global sort.
+    """
+    words = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = words.select(
+        F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"), "w"
+    ).select(F.col("w").substr(F.col("i"), F.lit(2)).alias("pair"))
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(TOP_PAIRS)
+    )
+
+
+# ------------------------------------- temperature-scaled sampling mix
+
+@q(
+    "doc_sampling_temperature",
+    """
+    WITH per_lang AS (
+      SELECT lang,
+             count(*)                                       AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+      FROM documents GROUP BY lang
+    ),
+    s AS (
+      SELECT lang, n_docs, tokens, sqrt(CAST(tokens AS DOUBLE)) AS st,
+             sum(sqrt(CAST(tokens AS DOUBLE)))
+               OVER (ORDER BY lang ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)                       AS cum_st,
+             sum(CAST(tokens AS DOUBLE))
+               OVER (ORDER BY lang ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)                       AS cum_tok
+      FROM per_lang
+    ),
+    tot AS (
+      SELECT *, max(cum_st) OVER () AS tot_st, max(cum_tok) OVER () AS tot_tok
+      FROM s
+    )
+    SELECT lang, n_docs, tokens,
+           round(st / tot_st, 6)                            AS weight_t05,
+           round(tokens / tot_tok, 6)                       AS raw_share,
+           round((st / tot_st) / (tokens / tot_tok), 6)     AS upsample_factor
+    FROM tot
+    ORDER BY lang
+    """,
+    "training-pipeline: temperature-scaled (alpha=0.5) multilingual sampling weights",
+)
+def doc_sampling_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language sampling weights at temperature alpha=0.5
+    (w_l = sqrt(tok_l) / sum sqrt(tok_m)) plus the upsample factor vs
+    the raw token share — the standard multilingual training-mix
+    rebalance (mBERT/XLM-R exponent-smoothing).
+
+    Cross-engine exactness: sqrt is IEEE-754 correctly rounded, and the
+    denominators are folded in PINNED lang order via a cumulative
+    window (a plain sum over doubles is summation-order-dependent);
+    the order-free max() then lifts the last cumulative value as the
+    total. The aggregate is language-cardinality-bounded, so the
+    window runs over a vocabulary-of-languages-sized table no matter
+    the corpus size.
+    """
+    per_lang = (
+        t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(F.split("text", " "))).alias("tokens"),
+        )
+    )
+    cum = Window.orderBy("lang").rowsBetween(Window.unboundedPreceding, 0)
+    whole = Window.orderBy("lang").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    s = per_lang.select(
+        "lang", "n_docs", "tokens",
+        F.sqrt(F.col("tokens").cast("double")).alias("st"),
+        F.sum(F.sqrt(F.col("tokens").cast("double"))).over(cum).alias("cum_st"),
+        F.sum(F.col("tokens").cast("double")).over(cum).alias("cum_tok"),
+    ).select(
+        "*",
+        F.max("cum_st").over(whole).alias("tot_st"),
+        F.max("cum_tok").over(whole).alias("tot_tok"),
+    )
+    return s.select(
+        "lang", "n_docs", "tokens",
+        F.round(F.col("st") / F.col("tot_st"), 6).alias("weight_t05"),
+        F.round(F.col("tokens") / F.col("tot_tok"), 6).alias("raw_share"),
+        F.round(
+            (F.col("st") / F.col("tot_st")) / (F.col("tokens") / F.col("tot_tok")), 6
+        ).alias("upsample_factor"),
+    ).orderBy("lang")
+
+
+# ------------------------------------------ host-level link-graph stats
+
+LINK_MULT = 31      # same deterministic graph as docs_link_pagerank
+LINK_FANOUT = (1, 2, 3)
+
+
+@q(
+    "docs_host_degree_stats",
+    f"""
+    WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    edges AS (
+      SELECT d.doc_id AS src,
+             (d.doc_id * {LINK_MULT} + c.c) % (SELECT n FROM nn) AS dst
+      FROM documents d CROSS JOIN (VALUES (1), (2), (3)) c(c)
+      WHERE c.c <= 1 + d.doc_id % 3
+        AND (d.doc_id * {LINK_MULT} + c.c) % (SELECT n FROM nn) <> d.doc_id
+    ),
+    hosted AS (
+      SELECT e.src, e.dst, ds.source AS src_host, dd.source AS dst_host
+      FROM edges e
+      JOIN documents ds ON ds.doc_id = e.src
+      JOIN documents dd ON dd.doc_id = e.dst
+    ),
+    recip AS (
+      SELECT a.src, a.dst
+      FROM edges a JOIN edges b ON a.src = b.dst AND a.dst = b.src
+    )
+    SELECT h.src_host                                        AS host,
+           count(*)                                          AS out_edges,
+           count(DISTINCT h.dst_host)                        AS n_dst_hosts,
+           CAST(sum(CASE WHEN h.src_host = h.dst_host THEN 1 ELSE 0 END)
+                AS BIGINT)                                   AS intra_host_edges,
+           round(avg(CASE WHEN h.src_host = h.dst_host THEN 1.0 ELSE 0.0 END), 6)
+                                                             AS intra_frac,
+           CAST(sum(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT)                                   AS recip_edges
+    FROM hosted h LEFT JOIN recip r ON r.src = h.src AND r.dst = h.dst
+    GROUP BY h.src_host
+    ORDER BY h.src_host
+    """,
+    "web-graph: per-host out-degree, fan-out, intra-host share, link reciprocity",
+)
+def docs_host_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level link-graph hygiene stats over the deterministic doc
+    graph (same edge rule as ``docs_link_pagerank``): out-degree,
+    distinct destination hosts, intra-host (self-link) share, and the
+    count of reciprocated edges — the classic link-farm / spam-host
+    signals a crawl prioritiser consumes.
+
+    Scale shape: the doc_id -> host map is a projection of
+    ``documents`` joined onto the edge list (at 100 TB: broadcast if
+    hosts fit, else a co-bucketed join on doc_id); reciprocity is an
+    equi-self-join on the composite (src, dst)=(dst, src) key — one
+    keyed shuffle, never a cross join.
+    """
+    d = t(spark, sf_dir, "documents").select("doc_id", "source")
+    n = d.count()
+    edges = (
+        d.select(
+            F.col("doc_id").alias("src"),
+            F.explode(F.array(*[F.lit(c) for c in LINK_FANOUT])).alias("c"),
+        )
+        .filter(F.col("c") <= 1 + F.col("src") % 3)
+        .withColumn("dst", (F.col("src") * LINK_MULT + F.col("c")) % n)
+        .filter(F.col("dst") != F.col("src"))
+        .drop("c")
+    )
+    hosted = (
+        edges.join(d.withColumnRenamed("doc_id", "src")
+                     .withColumnRenamed("source", "src_host"), "src")
+        .join(d.withColumnRenamed("doc_id", "dst")
+                .withColumnRenamed("source", "dst_host"), "dst")
+    )
+    recip = edges.alias("a").join(
+        edges.alias("b"),
+        (F.col("a.src") == F.col("b.dst")) & (F.col("a.dst") == F.col("b.src")),
+        "inner",
+    ).select(F.col("a.src").alias("r_src"), F.col("a.dst").alias("r_dst"))
+    joined = hosted.join(
+        recip,
+        (F.col("src") == F.col("r_src")) & (F.col("dst") == F.col("r_dst")),
+        "left",
+    )
+    intra = F.when(F.col("src_host") == F.col("dst_host"), 1).otherwise(0)
+    return (
+        joined.groupBy(F.col("src_host").alias("host"))
+        .agg(
+            F.count("*").alias("out_edges"),
+            F.countDistinct("dst_host").alias("n_dst_hosts"),
+            F.sum(intra).alias("intra_host_edges"),
+            F.round(F.avg(intra.cast("double")), 6).alias("intra_frac"),
+            F.sum(
+                F.when(F.col("r_src").isNotNull(), 1).otherwise(0)
+            ).alias("recip_edges"),
+        )
+        .orderBy("host")
+    )
