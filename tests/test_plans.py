@@ -544,3 +544,38 @@ def test_weighted_sample_is_scan_filter(spark):
     assert "EvalPython" not in plan
     assert "Join" not in plan
     assert "HashAggregate" not in plan
+
+
+def test_bpe_pairs_topk_take_ordered_jvm_side(spark):
+    """BPE pair counting must stay JVM-side (explode+substr in codegen),
+    aggregate with partial (map-side) combine on the pair key, and take
+    the top-20 via TakeOrderedAndProject — never a global sort."""
+    from crawler_spark.plans.queries_quality import doc_bpe_pair_stats
+
+    plan = _plan(doc_bpe_pair_stats(spark, "/root/testdata/sf0.001"))
+    assert "EvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan  # map-side combine before the pair shuffle
+
+
+def test_line_dedup_single_line_shuffle_no_python(spark):
+    """Line dedup must shuffle on the line string only (one groupBy for
+    first-owner, one doc-level agg) with no Python eval and no
+    nested-loop join anywhere."""
+    from crawler_spark.plans.queries_quality import doc_line_dedup
+
+    plan = _plan(doc_line_dedup(spark, "/root/testdata/sf0.001"))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_host_degree_no_cartesian_keyed_joins_only(spark):
+    """Reciprocity is a composite-key equi-self-join; the plan must not
+    contain a cartesian or nested-loop join."""
+    from crawler_spark.plans.queries_quality import docs_host_degree_stats
+
+    plan = _plan(docs_host_degree_stats(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
