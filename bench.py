@@ -114,6 +114,13 @@ CRAWL_WAVE_SECONDS = 400.0  # politeness budget >= hot host's wave load
 # interleaved ROUND (see main), so each level samples two separated
 # contention windows instead of one.
 CRAWL_REPS = int(os.environ.get("BENCH_CRAWL_REPS", "1"))
+# crawl-phase task granularity: partitions per task slot. Measured
+# (round 4, same-day probes at every level): 6 is ~13-16% faster than 3
+# at local[1/2/4/8] alike (finer tasks smooth GC-pause stragglers inside
+# the fused fetch job) and neutral on the N->4N ratio; 12 is within
+# noise of 6 (per-task overhead eats the gain). See BENCH.md
+# "Fetch-phase granularity study".
+PART_MULT = int(os.environ.get("BENCH_PART_MULT", "6"))
 QUERY_REPS = int(os.environ.get("BENCH_QUERY_REPS", "3"))
 
 
@@ -186,7 +193,7 @@ def _crawl_session(cores: int, app: str):
     # granularity.
     return get_spark(
         app_name=app, cores=cores,
-        shuffle_partitions=cores * 3,
+        shuffle_partitions=cores * PART_MULT,
         extra_conf={
             "spark.sql.adaptive.enabled": "false",
             # single wedged tasks (observed: one straggler stalling a
@@ -216,7 +223,7 @@ def _crawl_prepare(spark, cores: int):
     from crawler_spark.engine.driver import CrawlParams, crawl
 
     sites, spec = _bench_sites_spec(wg)
-    n_part = cores * 3
+    n_part = cores * PART_MULT
     pages = (
         spark.read.parquet(_corpus_path())
         .select("url", "html")
