@@ -86,6 +86,8 @@ BENCH_QUERIES = [
     "doc_zipf_slope", "url_trap_templates", "host_boilerplate_prefix",
     "events_value_mad_outliers",
     "doc_bpe_pair_stats", "doc_sampling_temperature", "docs_host_degree_stats",
+    "docs_graph_triangles", "events_markov_transitions",
+    "doc_heldout_bigram_score",
 ]
 
 # fat-wave corpus: ONE list page per section so the crawl is 2 waves

@@ -676,3 +676,272 @@ def docs_host_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("host")
     )
+
+
+# --------------------------------------------- triangle counting
+
+from .queries_docs import SQL_TOKENS  # noqa: E402  (shared tokenizer literal)
+
+
+@q(
+    "docs_graph_triangles",
+    f"""
+    WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    e AS (
+      SELECT d.doc_id AS src,
+             (d.doc_id * {LINK_MULT} + c.c) % (SELECT n FROM nn) AS dst
+      FROM documents d CROSS JOIN (VALUES (1), (2), (3)) c(c)
+      WHERE c.c <= 1 + d.doc_id % 3
+        AND (d.doc_id * {LINK_MULT} + c.c) % (SELECT n FROM nn) <> d.doc_id
+    ),
+    und AS (SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+            FROM e),
+    wedge AS (
+      SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+      FROM und e1 JOIN und e2 ON e2.lo = e1.hi
+    ),
+    tri AS (
+      SELECT w.a FROM wedge w JOIN und e3 ON e3.lo = w.a AND e3.hi = w.c
+    ),
+    wh AS (
+      SELECT d.source AS host, count(*) AS n_wedges
+      FROM wedge w JOIN documents d ON d.doc_id = w.a GROUP BY d.source
+    ),
+    th AS (
+      SELECT d.source AS host, count(*) AS n_triangles
+      FROM tri JOIN documents d ON d.doc_id = tri.a GROUP BY d.source
+    )
+    SELECT wh.host, wh.n_wedges,
+           coalesce(th.n_triangles, 0) AS n_triangles
+    FROM wh LEFT JOIN th ON wh.host = th.host
+    ORDER BY wh.host
+    """,
+    "web-graph: per-host wedge and triangle counts (undirected, anchored at the min node)",
+)
+def docs_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle counting over the deterministic doc graph —
+    the canonical two-shuffle-join graph pattern (node-iterator with
+    a<b<c ordering so each triangle counts exactly once, anchored at
+    its minimum node's host).
+
+    Scale shape: directed edges are canonicalized to undirected
+    (least/greatest + distinct, one shuffle); wedges are an equi-join
+    of the edge list with itself on the middle node; closure is a
+    second equi-join on the (a, c) composite key. No nested-loop join
+    anywhere, and the a<b<c orientation means every wedge/triangle is
+    generated once, not 3/6 times — the standard trick that keeps the
+    join fan-out linear in the wedge count at web scale.
+    """
+    d = t(spark, sf_dir, "documents").select("doc_id", "source")
+    n = d.count()
+    e = (
+        d.select(
+            F.col("doc_id").alias("src"),
+            F.explode(F.array(*[F.lit(c) for c in LINK_FANOUT])).alias("c"),
+        )
+        .filter(F.col("c") <= 1 + F.col("src") % 3)
+        .withColumn("dst", (F.col("src") * LINK_MULT + F.col("c")) % n)
+        .filter(F.col("dst") != F.col("src"))
+    )
+    und = e.select(
+        F.least("src", "dst").alias("lo"), F.greatest("src", "dst").alias("hi")
+    ).distinct()
+    wedge = (
+        und.alias("e1")
+        .join(und.alias("e2"), F.col("e2.lo") == F.col("e1.hi"))
+        .select(
+            F.col("e1.lo").alias("a"),
+            F.col("e1.hi").alias("b"),
+            F.col("e2.hi").alias("c"),
+        )
+    )
+    tri = wedge.join(
+        und.alias("e3"),
+        (F.col("e3.lo") == F.col("a")) & (F.col("e3.hi") == F.col("c")),
+    ).select("a")
+    hosts = d.withColumnRenamed("doc_id", "a").withColumnRenamed("source", "host")
+    wh = wedge.join(hosts, "a").groupBy("host").agg(F.count("*").alias("n_wedges"))
+    th = tri.join(hosts, "a").groupBy("host").agg(F.count("*").alias("n_triangles"))
+    return (
+        wh.join(th, "host", "left")
+        .select(
+            "host", "n_wedges",
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+        )
+        .orderBy("host")
+    )
+
+
+# ------------------------------------------ Markov transition matrix
+
+@q(
+    "events_markov_transitions",
+    """
+    WITH seq AS (
+      SELECT event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    tr AS (
+      SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+    )
+    SELECT from_type, to_type, n,
+           round(CAST(n AS DOUBLE) /
+                 CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6)
+             AS prob
+    FROM tr
+    ORDER BY from_type, to_type
+    """,
+    "behavior modeling: per-user event-type Markov transition counts + probabilities",
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's ordered
+    event stream (tie-break: ts then event_id, pinned on both engines).
+
+    Scale shape: one shuffle on user_id for the lead() window, then one
+    shuffle on the (from, to) pair — whose cardinality is |event
+    types|², so the final aggregate and the row-normalizing window run
+    over a tiny table regardless of event volume.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t(spark, sf_dir, "events").select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    tr = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    norm = Window.partitionBy("from_type")
+    return tr.select(
+        "from_type", "to_type", "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(norm).cast("double"), 6
+        ).alias("prob"),
+    ).orderBy("from_type", "to_type")
+
+
+# ---------------------------------- held-out bigram-LM score (pipeline)
+
+_SPLIT_SQL = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100"
+
+
+@q(
+    "doc_heldout_bigram_score",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, lang, {SQL_TOKENS} AS ts, {_SPLIT_SQL} AS b
+      FROM documents
+    ),
+    tr AS (SELECT * FROM tok WHERE b < 80),
+    va AS (SELECT * FROM tok WHERE b >= 80 AND b < 90),
+    bi_tr AS (
+      SELECT ts[i] AS w1, ts[i + 1] AS w2
+      FROM tr, UNNEST(range(1, len(ts))) AS u(i)
+    ),
+    bi_va AS (
+      SELECT doc_id, i AS pos, ts[i] AS w1, ts[i + 1] AS w2
+      FROM va, UNNEST(range(1, len(ts))) AS u(i)
+    ),
+    c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi_tr GROUP BY 1, 2),
+    c1 AS (SELECT w1, count(*) AS c1 FROM bi_tr GROUP BY 1),
+    v AS (SELECT count(DISTINCT tkn) AS v
+          FROM (SELECT unnest(ts) AS tkn FROM tr)),
+    terms AS (
+      SELECT b.doc_id,
+             list(CAST(coalesce(c12.c12, 0) + 1 AS DOUBLE)
+                  / CAST(coalesce(c1.c1, 0) + v.v AS DOUBLE)
+                  ORDER BY b.pos) AS ps
+      FROM bi_va b
+      LEFT JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+      LEFT JOIN c1 ON b.w1 = c1.w1
+      CROSS JOIN v
+      GROUP BY b.doc_id
+    )
+    SELECT va.doc_id, va.lang,
+           CAST(greatest(len(va.ts) - 1, 0) AS BIGINT) AS n_bigrams,
+           round(list_reduce(list_prepend(CAST(0 AS DOUBLE), terms.ps),
+                             (a, x) -> a + x) / len(terms.ps), 6)
+             AS heldout_score
+    FROM va LEFT JOIN terms ON va.doc_id = terms.doc_id
+    ORDER BY va.doc_id
+    """,
+    "pipeline composition: bigram LM trained on the train split scores the held-out split",
+)
+def doc_heldout_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/held-out composition: the add-1-smoothed bigram model from
+    ``doc_bigram_fluency`` is trained ONLY on the deterministic train
+    split (same hash rule as ``doc_train_split``) and scores the
+    validation split — the actual shape of a data-quality LM in a
+    training pipeline (never score with a model that saw the doc).
+    Unseen contexts degrade to 1/(0+V) via left joins, exactly as the
+    oracle does; the per-doc sum folds in pinned position order so the
+    rounded score is bit-identical on both engines.
+
+    Scale shape: identical to ``doc_bigram_fluency`` (two keyed count
+    shuffles build the model, scoring joins on natural keys — the
+    model is never broadcast), plus one scan-level hash filter that
+    splits train/valid without any assignment table.
+    """
+    from crawler_spark.functions import text as X
+
+    d = t(spark, sf_dir, "documents")
+    b = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 100
+    )
+    tok = d.select("doc_id", "lang", X.tokens(F.col("text")).alias("ts"),
+                   b.alias("b"))
+    tr = tok.filter(F.col("b") < 80)
+    va = tok.filter((F.col("b") >= 80) & (F.col("b") < 90))
+    ts = F.col("ts")
+    bi_arr = F.transform(
+        F.slice(ts, 1, F.greatest(F.size(ts) - 1, F.lit(0))),
+        lambda x, i: F.struct(
+            i.alias("pos"), x.alias("w1"),
+            F.element_at(ts, i + 2).alias("w2"),
+        ),
+    )
+    bi_tr = tr.select(F.explode(bi_arr).alias("s")).select("s.w1", "s.w2")
+    bi_va = (
+        va.select("doc_id", F.explode(bi_arr).alias("s"))
+        .select("doc_id", "s.pos", "s.w1", "s.w2")
+    )
+    c12 = bi_tr.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = bi_tr.groupBy("w1").agg(F.count("*").alias("c1"))
+    v = tr.select(F.explode(ts).alias("tkn")).agg(
+        F.count_distinct("tkn").alias("v")
+    )
+    terms = (
+        bi_va.join(c12, ["w1", "w2"], "left")
+        .join(c1, ["w1"], "left")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id", "pos",
+            (
+                (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(1)).cast("double")
+                / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v")).cast("double")
+            ).alias("p"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("pos", "p"))).alias("pp"))
+    )
+    base = va.select(
+        "doc_id", "lang",
+        F.greatest(F.size(ts) - 1, F.lit(0)).cast("long").alias("n_bigrams"),
+    )
+    fold = F.expr("aggregate(pp, cast(0 as double), (a, s) -> a + s.p)")
+    return (
+        base.join(terms, "doc_id", "left")
+        .select(
+            "doc_id", "lang", "n_bigrams",
+            F.round(fold / F.size("pp"), 6).alias("heldout_score"),
+        )
+        .orderBy("doc_id")
+    )

@@ -579,3 +579,25 @@ def test_host_degree_no_cartesian_keyed_joins_only(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "EvalPython" not in plan
+
+
+def test_triangles_equi_joins_only(spark):
+    """Wedge and closure joins must be hash/sort-merge equi-joins — a
+    cartesian or nested-loop join here would be quadratic in edges."""
+    from crawler_spark.plans.queries_quality import docs_graph_triangles
+
+    plan = _plan(docs_graph_triangles(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_heldout_bigram_model_never_broadcast_joins_on_keys(spark):
+    """The train-split bigram model joins the valid bigrams on natural
+    keys (w1, w2) / (w1); only the 1-row vocab scalar broadcasts and no
+    Python eval appears."""
+    from crawler_spark.plans.queries_quality import doc_heldout_bigram_score
+
+    plan = _plan(doc_heldout_bigram_score(spark, "/root/testdata/sf0.001"))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
