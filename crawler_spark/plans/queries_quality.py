@@ -945,3 +945,160 @@ def doc_heldout_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------- frontier crawl-priority scores
+
+# micro-unit quality score: the same literal formula as
+# doc_domain_reputation's oracle (queries_docs.py) — int64 micro-units
+# so every aggregate below is summation-order-free
+_SQL_Q_MICRO = """CAST(round(
+  (0.4 * least(1.0, len(regexp_extract_all(lower(text), '[a-z0-9]+')) / 100.0)
+ + 0.3 * (1.0 - CASE WHEN length(text) > 0
+     THEN CAST(len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS DOUBLE) / length(text)
+     ELSE 0 END)
+ + 0.3 * least(1.0, 4.0 * CASE WHEN len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0
+     THEN CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+          x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
+          / len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+     ELSE 0 END)
+) * 1000000) AS BIGINT)"""
+
+
+@q(
+    "frontier_priority_scores",
+    f"""
+    WITH d AS (
+      SELECT doc_id, source, {_SQL_Q_MICRO} AS q_micro FROM documents
+    ),
+    rep AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(q_micro) AS BIGINT) AS qsum
+      FROM d GROUP BY source
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    e AS (
+      SELECT dd.doc_id AS src,
+             (dd.doc_id * {LINK_MULT} + c.c) % (SELECT n FROM nn) AS dst
+      FROM documents dd CROSS JOIN (VALUES (1), (2), (3)) c(c)
+      WHERE c.c <= 1 + dd.doc_id % 3
+        AND (dd.doc_id * {LINK_MULT} + c.c) % (SELECT n FROM nn) <> dd.doc_id
+    ),
+    inl AS (
+      SELECT dd.source, count(*) AS in_edges
+      FROM e JOIN documents dd ON dd.doc_id = e.dst GROUP BY dd.source
+    ),
+    traps AS (
+      SELECT DISTINCT source FROM (
+        SELECT source,
+               regexp_replace({_trap_path_sql()}, '[0-9]+', '{{n}}', 'g')
+                 AS template,
+               {_trap_path_sql()} AS path
+        FROM documents
+      )
+      GROUP BY source, template
+      HAVING count(DISTINCT path) >= {TRAP_THRESHOLD}
+    )
+    SELECT r.source                                              AS host,
+           r.n_docs,
+           r.qsum // r.n_docs                                    AS mean_q_micro,
+           coalesce(i.in_edges, 0)                               AS in_edges,
+           (coalesce(i.in_edges, 0) * 1000000) // r.n_docs       AS inlink_density_micro,
+           (t.source IS NOT NULL)                                AS trapped,
+           CASE WHEN t.source IS NOT NULL THEN 0
+                ELSE r.qsum // r.n_docs
+                     + (coalesce(i.in_edges, 0) * 1000000) // r.n_docs
+           END                                                   AS priority_micro
+    FROM rep r
+    LEFT JOIN inl i ON i.source = r.source
+    LEFT JOIN traps t ON t.source = r.source
+    ORDER BY priority_micro DESC, host
+    """,
+    "crawl scheduling: per-host priority = reputation + in-link authority, trap-gated",
+)
+def frontier_priority_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composition that closes the loop from corpus analytics back
+    to the frontier: each host's crawl priority combines its mean
+    content quality (micro-unit integers, summation-order-free), its
+    in-link authority density over the link graph, and a hard zero for
+    hosts with a detected crawler-trap template — the ranking a
+    politeness scheduler would consume as its priority column.
+
+    Scale shape: three independent host-keyed aggregates (quality
+    rollup, in-edge count via the doc→host projection join, trap
+    template count) joined on the host key — each input shuffles once
+    on its natural key and the final join runs over host-cardinality
+    tables. All arithmetic is exact int64 (floor division mirrors
+    DuckDB's `//` on the all-positive operands).
+    """
+    from crawler_spark.functions import text as X
+
+    d0 = t(spark, sf_dir, "documents")
+    qc = X.quality_cols(F.col("text"))
+    d = d0.select(
+        "doc_id", "source",
+        F.round(qc["quality_score"] * F.lit(1000000.0)).cast("long").alias("q_micro"),
+    )
+    rep = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("q_micro").alias("qsum")
+    )
+    n = d0.count()
+    e = (
+        d.select(
+            F.col("doc_id").alias("src"),
+            F.explode(F.array(*[F.lit(c) for c in LINK_FANOUT])).alias("c"),
+        )
+        .filter(F.col("c") <= 1 + F.col("src") % 3)
+        .withColumn("dst", (F.col("src") * LINK_MULT + F.col("c")) % n)
+        .filter(F.col("dst") != F.col("src"))
+    )
+    inl = (
+        e.join(d.select(F.col("doc_id").alias("dst"), "source"), "dst")
+        .groupBy("source")
+        .agg(F.count("*").alias("in_edges"))
+    )
+    path = (
+        F.when(
+            F.col("doc_id") % 5 < 2,
+            F.concat(F.lit("page/"), ((F.col("doc_id") * 7) % 1000).cast("string")),
+        )
+        .when(
+            F.col("doc_id") % 5 < 4,
+            F.concat(F.lit("item/"), (F.col("doc_id") % 97).cast("string"),
+                     F.lit("/view")),
+        )
+        .otherwise(F.lit("static/about"))
+    )
+    traps = (
+        d0.select(
+            "source",
+            F.regexp_replace(path, "[0-9]+", "{n}").alias("template"),
+            path.alias("path"),
+        )
+        .groupBy("source", "template")
+        .agg(F.countDistinct("path").alias("n_urls"))
+        .filter(F.col("n_urls") >= TRAP_THRESHOLD)
+        .select("source")
+        .distinct()
+        .withColumn("trapped", F.lit(True))
+    )
+    mean_q = F.expr("qsum div n_docs")
+    density = F.expr("(coalesce(in_edges, 0) * 1000000) div n_docs")
+    out = (
+        rep.join(inl, "source", "left")
+        .join(traps, "source", "left")
+        .select(
+            F.col("source").alias("host"),
+            "n_docs",
+            mean_q.alias("mean_q_micro"),
+            F.coalesce("in_edges", F.lit(0)).alias("in_edges"),
+            density.alias("inlink_density_micro"),
+            F.coalesce("trapped", F.lit(False)).alias("trapped"),
+            F.when(F.coalesce("trapped", F.lit(False)), F.lit(0))
+            .otherwise(mean_q + density)
+            .cast("long")
+            .alias("priority_micro"),
+        )
+        .orderBy(F.desc("priority_micro"), "host")
+    )
+    return out
