@@ -1,13 +1,17 @@
 """Query registry, part 5: corpus-quality statistics and crawl-guard ops.
 
-Seven more operators a production web-text pipeline runs between crawl
-and training — none exist in the reference (it stops at item
-extraction, `pipelines.py:9-12`), but each is a standard stage of the
-LLM-data path the task brief makes first-class.  All seven are pure
-Catalyst (no Python UDFs): token streams via ``explode(split(...))``,
-statistics via built-in aggregates, so the hot path stays inside
-whole-stage codegen and every shuffle key is a bounded-cardinality
-column (token, lang, host, template).
+Operators a production web-text pipeline runs between crawl and
+training — none exist in the reference (it stops at item extraction,
+`pipelines.py:9-12`), but each is a standard stage of the LLM-data
+path the task brief makes first-class.  All are pure Catalyst (no
+Python UDFs): token streams via ``explode(split(...))``, statistics
+via built-in aggregates, so the hot path stays inside whole-stage
+codegen and every shuffle key is a bounded-cardinality column (token,
+lang, host, template, char pair, edge endpoint).  The first seven are
+described below; the file then adds BPE pair stats, temperature-scaled
+sampling weights, host degree/reciprocity, triangle counting, the
+event-type Markov matrix, held-out bigram-LM scoring, and the
+frontier crawl-priority composition (each documented at its def).
 
 - ``doc_line_dedup`` — RefinedWeb-style line-level dedup: split each
   document into fixed 10-token lines, keep each distinct line's copies
