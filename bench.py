@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "doc_bpe_pair_stats", "doc_sampling_temperature", "docs_host_degree_stats",
     "docs_graph_triangles", "events_markov_transitions",
     "doc_heldout_bigram_score", "frontier_priority_scores",
+    "events_hourly_profile",
 ]
 
 # fat-wave corpus: ONE list page per section so the crawl is 2 waves

@@ -1106,3 +1106,41 @@ def frontier_priority_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("priority_micro"), "host")
     )
     return out
+
+
+# ------------------------------------------------ hourly seasonality
+
+@q(
+    "events_hourly_profile",
+    """
+    WITH h AS (
+      SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod, count(*) AS n
+      FROM events GROUP BY event_type, hour(ts)
+    )
+    SELECT event_type, hod, n,
+           round(CAST(n AS DOUBLE) /
+                 CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE), 6)
+             AS share
+    FROM h
+    ORDER BY event_type, hod
+    """,
+    "scheduling: hour-of-day load profile per event type (seasonality for crawl-rate planning)",
+)
+def events_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day event seasonality — the load profile a crawl-rate
+    planner reads to shift politeness budgets into a host's off-peak
+    hours. One shuffle on the (type, hour) pair (cardinality ≤ 24·|types|,
+    map-side combined); the normalizing window runs over that tiny table.
+    """
+    h = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", F.hour("ts").cast("long").alias("hod"))
+        .agg(F.count("*").alias("n"))
+    )
+    norm = Window.partitionBy("event_type")
+    return h.select(
+        "event_type", "hod", "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(norm).cast("double"), 6
+        ).alias("share"),
+    ).orderBy("event_type", "hod")
