@@ -949,6 +949,58 @@ def crawl_wave_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.items.orderBy("url")
 
 
+@q(
+    "crawl_resume_roundtrip",
+    f"""
+    SELECT url, source, title, publish_time, origin_url,
+           province, city, county, site_name, text,
+           CAST(wave AS INT) AS wave
+    FROM read_parquet('{GOLDEN_ITEMS_PARQUET}')
+    ORDER BY url
+    """,
+    # Same pure-Python-oracle golden parquet as crawl_wave_loop: a
+    # crash-resumed crawl must produce the EXACT item set (and wave
+    # numbering) an uninterrupted run does — the kill/resume seam is
+    # invisible in the output.
+    "E8 + durable state end-to-end: LakeStore wave commits, simulated "
+    "crash after wave 2, checkpoint resume; items identical to the "
+    "uninterrupted golden run (SURVEY.md §5.2.5; round-4 verdict item 5)",
+)
+def crawl_resume_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the graded crawl spec WITH a durable LakeStore, stop after
+    wave 2 (simulated crash — the driver just stops issuing waves),
+    then resume from the checkpoint to completion and return the
+    store's committed items table.
+
+    The oracle is the same golden parquet crawl_wave_loop is graded
+    against, so this row proves the stage/commit/restore path (atomic
+    manifest swap + uncommitted-wave replay, state/lakestore.py) is
+    byte-equivalent to an uninterrupted in-memory run — previously
+    pytest-only evidence (tests/test_resume.py)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..corpus import webgen as wg
+    from ..engine.driver import ITEMS_SCHEMA, CrawlParams, crawl
+    from ..state.lakestore import LakeStore
+
+    spec = graded_crawl_spec()
+    pages = spark.createDataFrame(wg.corpus_pandas(spec))
+    root = tempfile.mkdtemp(prefix="crawl_resume_q_")
+    # the returned DataFrame lazily reads the store — clean up at exit,
+    # not here
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    store = LakeStore(root)
+    base = dict(wave_seconds=GOLDEN_WAVE_SECONDS, use_bloom=True, n_shards=8,
+                record_order=False)
+    crawl(spark, pages, CrawlParams(max_waves=2, **base), store=store)
+    assert store.load_checkpoint()["wave"] == 2
+    crawl(spark, pages, CrawlParams(max_waves=60, **base), store=store,
+          resume=True)
+    return store.read(spark, "items", ITEMS_SCHEMA).orderBy("url")
+
+
 _KGRAM_K = 10
 
 @q(

@@ -233,8 +233,8 @@ def doc_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.select(
             "doc_id",
-            F.octet_length(dirty).alias("dirty_len"),
-            F.octet_length(clean).alias("clean_len"),
+            F.octet_length(dirty).cast("long").alias("dirty_len"),
+            F.octet_length(clean).cast("long").alias("clean_len"),
             F.md5(F.encode(clean, "utf-8")).alias("clean_md5"),
             (F.md5(F.encode(clean, "utf-8")) == F.md5(F.encode("text", "utf-8")))
             .cast("long")

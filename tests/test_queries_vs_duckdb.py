@@ -54,6 +54,10 @@ def _compare(name, spark_df, duck_df):
         # dtype-strict: the driver's value-hash is dtype-sensitive, so an
         # int64-vs-float64 drift (e.g. DuckDB HUGEINT sums) must fail here.
         assert av.dtype.kind == bv.dtype.kind, (name, c, av.dtype, bv.dtype)
+        if av.dtype.kind in "iu":
+            # integer WIDTH too (round 5: doc_unicode_clean shipped int32
+            # vs the oracle's int64 and the kind check let it through)
+            assert str(av.dtype) == str(bv.dtype), (name, c, av.dtype, bv.dtype)
         if av.dtype.kind == "f" or bv.dtype.kind == "f":
             av = pd.to_numeric(av, errors="coerce")
             bv = pd.to_numeric(bv, errors="coerce")
