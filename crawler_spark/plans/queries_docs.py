@@ -1053,18 +1053,46 @@ def doc_dup_kgram_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "training-mix rebalancing (Dolma/RedPajama-style source mixer): "
     "downsample every language to the smallest group's count with a "
     "deterministic md5-rank draw — per-group counts land EXACTLY, no "
-    "probabilistic wobble; the rank window is the only shuffle. At "
-    "100 TB the exact rank becomes a per-group md5-threshold cut "
-    "(approxQuantile of the hash), trading exactness for no hot-group "
-    "single-partition sort",
+    "probabilistic wobble; the rank window is the only shuffle. The "
+    "100-TB variant is IMPLEMENTED as scale_form=True — a stateless "
+    "per-group hash-threshold cut, no window, no hot-group sort "
+    "(equivalence + plan pinned in tests/test_scale_forms.py)",
 )
-def doc_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+def doc_mix_rebalance(spark: SparkSession, sf_dir: str,
+                      scale_form: bool = False) -> DataFrame:
+    """Downsample every language to the smallest group's count ``m``.
+
+    Graded form: deterministic md5-rank window per language — per-group
+    counts land EXACTLY, but the largest language sorts inside one
+    window partition. Scale form (``scale_form=True``): hash-threshold
+    cut — each row's uniform draw u = xxhash64(doc_id)/2^64 + 1/2 is
+    kept when u < m/count(lang). Stateless (one broadcast of per-lang
+    fractions, NO window, NO sort), deterministic and
+    parallelism-invariant; per-group counts land within binomial noise
+    of m instead of exactly (the minimum language keeps everything —
+    its fraction is 1). Output drops the rank column (no rank exists
+    without the sort). tests/test_scale_forms.py pins the count
+    tolerance, determinism, and the window-free plan."""
     docs = t(spark, sf_dir, "documents")
     counts = docs.groupBy("lang").count()
     counts = counts.withColumn(
         "m", F.min("count").over(Window.partitionBy(F.lit(1)))
-    ).select("lang", "m")
-    ranked = docs.join(F.broadcast(counts), "lang").withColumn(
+    )
+    if scale_form:
+        frac = counts.select(
+            "lang", (F.col("m").cast("double") / F.col("count")).alias("frac")
+        )
+        u = (
+            F.xxhash64(F.col("doc_id")).cast("double") / F.lit(float(2 ** 64))
+            + F.lit(0.5)
+        )
+        return (
+            docs.join(F.broadcast(frac), "lang")
+            .where(u < F.col("frac"))
+            .select("doc_id", "lang")
+            .orderBy("lang", "doc_id")
+        )
+    ranked = docs.join(F.broadcast(counts.select("lang", "m")), "lang").withColumn(
         "rk",
         F.row_number().over(
             Window.partitionBy("lang").orderBy(
@@ -1202,17 +1230,40 @@ def doc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "training-sequence packing: concatenate each language's token stream "
     "in doc_id order and assign every document the 512-token training "
     "sequence (and offset) where it starts — a per-stratum prefix sum "
-    "(running-total window), exact integer arithmetic. At 100 TB the "
-    "stratum is (lang, hash-shard) so no single window partition holds a "
-    "whole language; packing is embarrassingly parallel across shards",
+    "(running-total window), exact integer arithmetic. The 100-TB "
+    "variant is IMPLEMENTED as n_shards=k — stratum (lang, hash-shard), "
+    "no single window partition holds a whole language (per-stratum "
+    "exactness pinned in tests/test_scale_forms.py)",
 )
-def doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+def doc_sequence_packing(spark: SparkSession, sf_dir: str,
+                         n_shards: int | None = None) -> DataFrame:
+    """Assign each document its 512-token training sequence + offset via
+    a per-stratum prefix sum.
+
+    Graded form (``n_shards=None``): stratum = lang — exact, but a
+    whole language is ONE window partition (a single sorted task at
+    web scale). Scale form (``n_shards=k``): stratum = (lang, shard)
+    with shard = xxhash64(doc_id) mod k, so no window partition holds
+    more than ~1/k of a language and packing is embarrassingly
+    parallel across shards; each shard's token stream packs
+    independently (standard practice — training shards are independent
+    files anyway). Output gains a ``shard`` column; within a stratum
+    the arithmetic is the SAME exact integer prefix sum
+    (tests/test_scale_forms.py recomputes every stratum in pandas and
+    requires equality)."""
     d = t(spark, sf_dir, "documents")
     n = d.select(
         "doc_id", "lang", X.token_count(F.col("text")).cast("long").alias("n_tokens")
     )
+    if n_shards is not None:
+        n = n.withColumn(
+            "shard", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_shards)).cast("int")
+        )
+        keys = ["lang", "shard"]
+    else:
+        keys = ["lang"]
     w = (
-        Window.partitionBy("lang")
+        Window.partitionBy(*keys)
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -1220,11 +1271,11 @@ def doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     start = F.col("cum") - F.col("n_tokens")
     return c.select(
         "doc_id",
-        "lang",
+        *keys,
         "n_tokens",
         F.expr(f"(cum - n_tokens) div {SEQ_LEN}").alias("seq_id"),
         (start % SEQ_LEN).alias("seq_offset"),
-    ).orderBy("lang", "doc_id")
+    ).orderBy(*keys, "doc_id")
 
 
 # ===========================================================================
@@ -1436,24 +1487,49 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "CCNet-style head/middle/tail partition: per-language fluency "
     "terciles (ntile(3) over the corpus-trained bigram-LM score, "
     "deterministic doc_id tie-break); the canonical model-based "
-    "quality split used to stage web text into training mixes",
+    "quality split used to stage web text into training mixes. The "
+    "100-TB variant is IMPLEMENTED as scale_form=True — two-pass "
+    "percentile_approx thresholds, window-free (agreement + plan "
+    "pinned in tests/test_scale_forms.py)",
 )
-def doc_fluency_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def doc_fluency_buckets(spark: SparkSession, sf_dir: str,
+                        scale_form: bool = False) -> DataFrame:
     """Per-language head/middle/tail fluency terciles (CCNet's split).
 
     Scale shape: reuses the fluency plan (two count shuffles + the
     doc_id re-agg), then ONE window partitioned by lang. A language is
     a fat partition at web scale — the sort inside ntile is the cost —
-    so the 100-TB variant becomes a two-pass split (approxQuantile of
-    fluency per lang -> broadcast thresholds -> stateless filter),
-    trading the exact tercile boundary for no per-lang global sort;
-    the exact window here is the graded spec of that split."""
+    so ``scale_form=True`` runs the two-pass split instead: per-lang
+    approximate tercile thresholds (percentile_approx, a partial-merge
+    aggregate — no per-lang sort, no row materialization) broadcast
+    onto a stateless CASE filter. Same output schema; bucket boundaries
+    may differ by the sketch error at the tercile edges only
+    (tests/test_scale_forms.py pins >=95% agreement with the exact
+    window on the fixture and that the scale plan contains NO Window).
+    The exact window form stays the graded oracle spec."""
     flu = doc_bigram_fluency(spark, sf_dir)
     d = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    joined = flu.where(F.col("n_bigrams") > 0).join(d, "doc_id")
+    if scale_form:
+        thr = joined.groupBy("lang").agg(
+            F.percentile_approx(
+                "fluency", F.array(F.lit(2.0 / 3.0), F.lit(1.0 / 3.0)),
+                F.lit(10000),
+            ).alias("qs")
+        )
+        return (
+            joined.join(F.broadcast(thr), "lang")
+            .select(
+                "doc_id", "lang", "fluency",
+                F.when(F.col("fluency") >= F.col("qs")[0], F.lit("head"))
+                .when(F.col("fluency") >= F.col("qs")[1], F.lit("middle"))
+                .otherwise(F.lit("tail")).alias("bucket"),
+            )
+            .orderBy("doc_id")
+        )
     w = Window.partitionBy("lang").orderBy(F.desc("fluency"), F.asc("doc_id"))
     return (
-        flu.where(F.col("n_bigrams") > 0)
-        .join(d, "doc_id")
+        joined
         .withColumn("b", F.ntile(3).over(w))
         .select(
             "doc_id", "lang", "fluency",
