@@ -192,7 +192,8 @@ def lsh_incremental_matches(new_sigs: DataFrame, old_sigs: DataFrame,
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 3,
                         threshold: float = 0.5,
-                        max_df: int | None = 1000) -> DataFrame:
+                        max_df: int | None = 1000,
+                        pair_budget: int | None = 20_000_000) -> DataFrame:
     """Exact Jaccard over distinct k-shingle sets for pairs sharing at
     least one shingle (inverted-index join; ``explode`` + groupBy — the
     candidate key is the shingle, so no all-pairs stage exists).
@@ -204,21 +205,60 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     then over the non-boilerplate shingle sets (sizes computed after the
     filter, so the ratio stays internally consistent); the SQL oracle
     mirrors the same cap. A shingle shared by more than ``max_df`` docs
-    carries ~no dedup signal anyway."""
+    carries ~no dedup signal anyway.
+
+    ``pair_budget`` is the ADAPTIVE companion (round-4 verdict item 6):
+    a fixed df cap never fires on a corpus whose shingle df sits
+    uniformly BELOW it (the sf1 exercise: df≈75 everywhere → 312.9s —
+    the self-join cost is Σ_sh C(df,2), not max df). The effective cap
+    is the largest df value whose ascending-df cumulative candidate
+    count Σ df(df-1)/2·n_shingles(df) stays within the budget — i.e.
+    keep the LOWEST-df (highest-signal) shingles first and shed fat
+    posting lists until the join is budget-bounded. Deterministic,
+    data-dependent, computed from the tiny df histogram (bounded
+    cardinality: distinct df values), mirrored exactly by the SQL
+    oracle. On ordinary corpora (df mostly 1-2) the budget never binds
+    and behavior is identical to the plain ``max_df`` form."""
     from ..functions.text_fast import shingles_fast
 
     sh = docs.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(shingles_fast(F.col(text_col)))).alias("sh"),
     )
-    if max_df is not None:
-        hot = sh.groupBy("sh").agg(F.count("*").alias("df")).filter(
-            F.col("df") > max_df
-        )
-        # anti-join on the shingle key; the hot side is usually tiny
-        # (boilerplate only) — AQE picks broadcast when it is, and falls
-        # back to a shuffle join when a pathological corpus makes it big.
-        sh = sh.join(hot.select("sh"), "sh", "left_anti")
+    if max_df is not None or pair_budget is not None:
+        dfs = sh.groupBy("sh").agg(F.count("*").alias("df"))
+        cap = F.lit(max_df) if max_df is not None else None
+        if pair_budget is not None:
+            hist = dfs.groupBy("df").agg(F.count("*").alias("n_sh"))
+            # global window over the df HISTOGRAM — bounded cardinality
+            # (distinct df values), a few hundred rows at any scale
+            wcum = Window.orderBy("df").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+            cum = hist.withColumn(
+                "cum_pairs",
+                F.sum(F.expr("df * (df - 1) div 2") * F.col("n_sh")).over(wcum),
+            )
+            ad = cum.where(F.col("cum_pairs") <= pair_budget).agg(
+                F.coalesce(F.max("df"), F.lit(1)).alias("ad_cap")
+            )
+            adaptive = F.col("ad_cap")
+            cap = F.least(cap, adaptive) if cap is not None else adaptive
+            # one-row broadcast scalar attachment (same pattern as the
+            # corpus-size scalars in the TF-IDF / fluency queries)
+            sh = (
+                sh.join(dfs, "sh")
+                .crossJoin(F.broadcast(ad))
+                .where(F.col("df") <= cap)
+                .select("id", "sh")
+            )
+        else:
+            hot = dfs.filter(F.col("df") > max_df)
+            # anti-join on the shingle key; the hot side is usually tiny
+            # (boilerplate only) — AQE picks broadcast when it is, and
+            # falls back to a shuffle join when a pathological corpus
+            # makes it big.
+            sh = sh.join(hot.select("sh"), "sh", "left_anti")
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     inter = (
         sh.alias("x")

@@ -580,6 +580,10 @@ def dedup_lsh_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 NGRAM_MAX_DF = 1000  # boilerplate-shingle cap, mirrored engine <-> oracle
+# adaptive posting-list pair budget (round-4 verdict item 6): cap the
+# self-join's candidate count Σ df(df-1)/2 by shedding the fattest
+# posting lists (highest df first); mirrored engine <-> oracle
+NGRAM_PAIR_BUDGET = 20_000_000
 
 
 @q(
@@ -587,11 +591,24 @@ NGRAM_MAX_DF = 1000  # boilerplate-shingle cap, mirrored engine <-> oracle
     f"""
     WITH sh0 AS (
       SELECT doc_id AS id, unnest(list_distinct({SQL_SHINGLES})) AS sh FROM documents
+    ), dfs AS (
+      SELECT sh, count(*) AS df FROM sh0 GROUP BY sh
+    ), hist AS (
+      SELECT df, count(*) AS n_sh FROM dfs GROUP BY df
+    ), capv AS (
+      -- adaptive cap (mirrors ngram_jaccard_pairs pair_budget): largest
+      -- df whose ascending-df cumulative candidate count stays within
+      -- the budget; lowest-df (highest-signal) shingles survive first
+      SELECT coalesce(max(df), 1) AS ad_cap FROM (
+        SELECT df, sum(df * (df - 1) // 2 * n_sh) OVER (ORDER BY df) AS cum
+        FROM hist
+      ) WHERE cum <= {NGRAM_PAIR_BUDGET}
     ), sh AS (
-      -- document-frequency cap (mirrors ngram_jaccard_pairs max_df):
-      -- boilerplate shingles never enter the posting-list self-join
-      SELECT id, sh FROM sh0
-      QUALIFY count(*) OVER (PARTITION BY sh) <= {NGRAM_MAX_DF}
+      -- document-frequency cap (mirrors ngram_jaccard_pairs max_df +
+      -- pair_budget): boilerplate/fat shingles never enter the
+      -- posting-list self-join
+      SELECT id, s.sh FROM sh0 s JOIN dfs USING (sh), capv
+      WHERE df <= least({NGRAM_MAX_DF}, ad_cap)
     ), sizes AS (
       SELECT id, count(*) AS n FROM sh GROUP BY id
     ), inter AS (
@@ -607,11 +624,13 @@ NGRAM_MAX_DF = 1000  # boilerplate-shingle cap, mirrored engine <-> oracle
     ORDER BY id_a, id_b
     """,
     "n-gram Jaccard dedup: inverted-index candidate join + exact verify; "
-    "hot-shingle DF cap bounds the self-join key skew",
+    "hot-shingle DF cap + adaptive Σdf² pair budget bound the self-join "
+    "key skew AND its total candidate volume",
 )
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.ngram_jaccard_pairs(
-        t(spark, sf_dir, "documents"), threshold=0.5, max_df=NGRAM_MAX_DF
+        t(spark, sf_dir, "documents"), threshold=0.5, max_df=NGRAM_MAX_DF,
+        pair_budget=NGRAM_PAIR_BUDGET,
     ).orderBy("id_a", "id_b")
 
 

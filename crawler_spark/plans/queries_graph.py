@@ -60,6 +60,39 @@ PR_ITERS = 5
 PR_FANOUT = (1, 2, 3)  # doc i -> (31*i + c) % N
 PR_MULT = 31
 
+# --- the ONE normative copy of the deterministic link-graph edge rule ------
+# doc i -> (31*i + c) % n for c in 1..(1 + i % 3), self-loops dropped.
+# Shared (Spark + SQL) by docs_link_pagerank, docs_host_degree_stats,
+# docs_graph_triangles and frontier_priority_scores so the rule cannot
+# drift between any query and its oracle (round-4 advice: four
+# independent byte-identical copies existed).
+
+# SQL fragment: two CTE bodies (compose as `WITH {SQL_LINK_EDGES}, ...`);
+# the alias `d` is local to the fragment.
+SQL_LINK_EDGES = f"""
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    edges AS (
+      SELECT d.doc_id AS src,
+             (d.doc_id * {PR_MULT} + c.c) % (SELECT n FROM nn) AS dst
+      FROM documents d CROSS JOIN (VALUES {", ".join(f"({c})" for c in PR_FANOUT)}) c(c)
+      WHERE c.c <= 1 + d.doc_id % 3
+        AND (d.doc_id * {PR_MULT} + c.c) % (SELECT n FROM nn) <> d.doc_id
+    )"""
+
+
+def link_edges(docs: DataFrame, n: int) -> DataFrame:
+    """Spark twin of ``SQL_LINK_EDGES``: (src, dst) edge DataFrame over
+    ``docs`` (needs a ``doc_id`` column); ``n`` is the corpus size
+    scalar. Derived, never materialised — Catalyst folds the arithmetic."""
+    c = F.explode(F.array(*[F.lit(x) for x in PR_FANOUT])).alias("c")
+    return (
+        docs.select(F.col("doc_id").alias("src"), c)
+        .filter(F.col("c") <= 1 + F.col("src") % 3)
+        .withColumn("dst", (F.col("src") * PR_MULT + F.col("c")) % F.lit(n))
+        .filter(F.col("dst") != F.col("src"))
+        .select("src", "dst")
+    )
+
 
 def _pr_oracle_sql() -> str:
     """Unrolled 5-iteration integer PageRank as a DuckDB CTE chain.
@@ -67,17 +100,9 @@ def _pr_oracle_sql() -> str:
     r_{k+1}(v) = (0.15·SCALE)//N + (85 · Σ_{u→v} r_k(u)//deg(u)) // 100
     — every op is BIGINT, so it matches the Spark plan bit-exactly.
     """
-    fanout = ", ".join(f"({c})" for c in PR_FANOUT)
     head = f"""
-    WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    WITH {SQL_LINK_EDGES},
     nodes AS (SELECT doc_id AS id FROM documents),
-    edges AS (
-      SELECT d.doc_id AS src,
-             (d.doc_id * {PR_MULT} + c.c) % (SELECT n FROM nn) AS dst
-      FROM documents d CROSS JOIN (VALUES {fanout}) c(c)
-      WHERE (d.doc_id * {PR_MULT} + c.c) % (SELECT n FROM nn) <> d.doc_id
-        AND c.c <= 1 + d.doc_id % 3
-    ),
     deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
     ew AS (SELECT edges.src, edges.dst, deg.deg FROM edges JOIN deg ON deg.src = edges.src),
     r0 AS (SELECT id, {PR_SCALE} // (SELECT n FROM nn) AS r FROM nodes)
@@ -112,18 +137,7 @@ def docs_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     n = d.count()  # one scalar; the oracle's (SELECT count(*)) twin
     nodes = d.select(F.col("doc_id").alias("id"))
-
-    # Derived edge list: no materialisation, Catalyst folds the arithmetic.
-    c = F.explode(F.array(*[F.lit(x) for x in PR_FANOUT])).alias("c")
-    edges = (
-        nodes.select(F.col("id").alias("src"), c)
-        .withColumn("dst", (F.col("src") * PR_MULT + F.col("c")) % F.lit(n))
-        .filter(
-            (F.col("dst") != F.col("src"))
-            & (F.col("c") <= 1 + F.col("src") % 3)  # irregular out-degree 1..3
-        )
-        .select("src", "dst")
-    )
+    edges = link_edges(d, n)
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     # The edge+degree table is read once per iteration: persist it so the
     # deg groupBy runs once, not five times. At cluster scale the same

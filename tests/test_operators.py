@@ -206,6 +206,62 @@ def test_ngram_jaccard_hot_shingle_cap(spark):
     assert (0, 2) not in got
 
 
+def test_ngram_jaccard_adaptive_pair_budget(spark):
+    """A corpus whose shingle df sits uniformly BELOW the fixed cap (the
+    sf1 exercise's failure mode: df≈75 vs cap 1000 → 312.9s) must be
+    bounded by the pair budget instead: the effective cap is the largest
+    df whose ascending-df cumulative Σ df(df-1)/2 candidate count fits
+    the budget — verified against a pure-Python mirror of the rule, and
+    the planted low-df near-dup pair must survive (lowest-df shingles
+    are shed LAST)."""
+    from collections import Counter
+
+    from crawler_spark.functions.text_fast import shingles_py
+    from crawler_spark.operators.dedup_docs import ngram_jaccard_pairs
+
+    # small shared vocabulary → many mid-df shingles, none above max_df
+    docs = []
+    for i in range(24):
+        words = [f"w{(i + j) % 8}" for j in range(10)]
+        docs.append((i, " ".join(words)))
+    # planted near-dup pair with UNIQUE (df=2) shingles
+    docs.append((200, "alpha beta gamma delta epsilon zeta eta theta"))
+    docs.append((201, "alpha beta gamma delta epsilon zeta eta iota"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    budget = 60
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            df, threshold=0.1, max_df=1000, pair_budget=budget
+        ).collect()
+    }
+
+    # pure-Python mirror of the adaptive rule
+    sets = {i: set(shingles_py(t)) for i, t in docs}
+    dfreq = Counter(s for v in sets.values() for s in v)
+    hist = Counter(dfreq.values())
+    cum, ad_cap = 0, 1
+    for dv in sorted(hist):
+        cum += dv * (dv - 1) // 2 * hist[dv]
+        if cum <= budget:
+            ad_cap = dv
+        else:
+            break
+    assert ad_cap < max(dfreq.values()), "budget must actually bind here"
+    fsets = {i: {s for s in v if dfreq[s] <= ad_cap} for i, v in sets.items()}
+    want = {}
+    ids = sorted(fsets)
+    for ai, a in enumerate(ids):
+        for b in ids[ai + 1:]:
+            inter = len(fsets[a] & fsets[b])
+            union = len(fsets[a] | fsets[b])
+            if inter and union and round(inter / union, 6) >= 0.1:
+                want[(a, b)] = round(inter / union, 6)
+    assert got == want
+    assert (200, 201) in got            # df=2 signal shingles shed last
+
+
 def test_lsh_hot_bucket_cap(spark):
     """A degenerate band bucket (mass-duplicated boilerplate: 50
     identical docs → all four of their band buckets hold 50 members)
