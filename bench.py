@@ -300,6 +300,7 @@ def phase_crawl(cores: int) -> dict:
     # (~1.5 GB of text per run), which degraded rep 2+ by 2-4x.
     import gc
 
+    defer = os.environ.get("BENCH_DEFER", "0") == "1"
     walls, metric_runs, step_runs, waves = [], [], [], 0
     for _ in range(CRAWL_REPS):
         t0 = time.time()
@@ -307,10 +308,15 @@ def phase_crawl(cores: int) -> dict:
             spark, pages,
             CrawlParams(wave_seconds=CRAWL_WAVE_SECONDS, use_bloom=True,
                         n_shards=64, record_order=False, max_waves=12,
-                        n_salts=16),
+                        n_salts=16, defer_detail_parse=defer),
             sites=sites,
             pages_prepartitioned=True,
         )
+        # materialize the items OUTPUT inside the timed window (round 5):
+        # the crawl's product is the items table, and the defer variant
+        # moves detail-text extraction into exactly this materialization
+        # — without it the two engine paths would not be comparable
+        res.items.write.format("noop").mode("overwrite").save()
         walls.append(time.time() - t0)
         metric_runs.append(res.metrics)
         step_runs.append(res.step_walls)

@@ -63,7 +63,7 @@ from pyspark.sql import types as T
 
 from ..canonical import canonicalize_url, canonicalize_url_col, host_of, host_of_py
 from ..config import SITES, SiteConfig, crawl_config_df
-from ..functions.parsing import enrich_page
+from ..functions.parsing import ENRICH_STRUCT, enrich_page
 from ..operators import dedup as dd
 from ..operators.politeness import admit_per_host, host_budget, pop_order
 from ..operators.robots import apply_robots
@@ -151,6 +151,18 @@ class CrawlParams:
     n_salts: int = 16                      # politeness skew split
     record_order: bool = True              # pop_seq bookkeeping (test scale)
     acc_collapse_waves: int = 8            # output-accumulator collapse period
+    # Round-4 verdict item 4 (2→8 scaling loss pinned on the fused fetch
+    # job localCheckpointing ~1.5 GB of parsed detail text per wave
+    # through the single shared block-store write path): detail pages
+    # are TERMINAL here — their text feeds only the items output, never
+    # the next wave's frontier — so with defer_detail_parse=True the
+    # wave checkpoints only list-parse products + slim detail metadata
+    # (~200 B/row) and detail text extraction runs lazily when the
+    # items output is materialized (the sink write / accumulator
+    # collapse), flowing UDF → sink with NO block-store round trip.
+    # Byte-identical items either way (tests/test_crawl_e2e.py runs
+    # both paths against the same golden).
+    defer_detail_parse: bool = False
 
 
 @dataclass
@@ -528,21 +540,46 @@ def crawl(
         # checkpoint: only the parse products (anns / text) are
         # materialized. Everything downstream — errors, candidates,
         # items, pagination — is a cheap projection of this checkpoint.
-        enriched = (
-            admitted.join(pages_slim, "url", "left")
-            .withColumn("fetch_ok", F.col("html").isNotNull())
-            .withColumn(
-                "_e", enrich_page(F.col("html"), F.col("kind"), F.col("parse_kind"))
-            )
-            .select(
-                *[c.name for c in FRONTIER_SCHEMA],
-                "parse_kind", "contents_base_url", "origin_url_template",
-                "max_page", "province", "city", "county", "site_name",
-                "fetch_ok",
-                F.col("_e.anns").alias("anns"),
-                F.col("_e.text").alias("text"),
-            )
+        base = admitted.join(pages_slim, "url", "left").withColumn(
+            "fetch_ok", F.col("html").isNotNull()
         )
+        meta_cols = [
+            *[c.name for c in FRONTIER_SCHEMA],
+            "parse_kind", "contents_base_url", "origin_url_template",
+            "max_page", "province", "city", "county", "site_name",
+            "fetch_ok",
+        ]
+        if params.defer_detail_parse:
+            # lists-only enrich: detail pages are terminal (their text
+            # feeds only the items output), so the wave-critical
+            # checkpoint carries list anns + slim detail metadata — the
+            # ~GBs of detail text never enter the block store. The kind
+            # filters push below the join, so the two branches together
+            # probe each admitted row once.
+            lists = (
+                base.filter(F.col("kind") == "list")
+                .withColumn(
+                    "_e",
+                    enrich_page(F.col("html"), F.col("kind"), F.col("parse_kind")),
+                )
+                .select(*meta_cols, F.col("_e.anns").alias("anns"))
+            )
+            dets = base.filter(F.col("kind") != "list").select(
+                *meta_cols, F.lit(None).cast(ENRICH_STRUCT["anns"].dataType).alias("anns")
+            )
+            enriched = lists.unionByName(dets)
+        else:
+            enriched = (
+                base
+                .withColumn(
+                    "_e", enrich_page(F.col("html"), F.col("kind"), F.col("parse_kind"))
+                )
+                .select(
+                    *meta_cols,
+                    F.col("_e.anns").alias("anns"),
+                    F.col("_e.text").alias("text"),
+                )
+            )
         # piggyback the wave's row counts on the checkpoint action via
         # observe(): CollectMetrics accumulates per-task during the
         # materialization, so n_admitted / n_miss / n_items cost ZERO
@@ -735,11 +772,35 @@ def crawl(
         # (text was extracted in the single enrich pass; provenance cols
         # were joined before the checkpoint)
         details = fetched.filter((F.col("kind") == "detail") & F.col("fetch_ok"))
-        wave_items = details.select(
-            "url", "source", "title", "publish_time", "origin_url",
-            "province", "city", "county", "site_name", "text",
-            F.lit(wave).alias("wave"),
-        )
+        if params.defer_detail_parse:
+            # text extraction re-joins the slim detail rows against the
+            # pre-bucketed corpus and runs the SAME detail-extract UDF
+            # lazily — it executes when the items output materializes
+            # (sink write / accumulator collapse), off the wave-critical
+            # path, UDF → sink with no intermediate text checkpoint
+            wave_items = (
+                details.select(
+                    "url", "source", "title", "publish_time", "origin_url",
+                    "province", "city", "county", "site_name", "parse_kind",
+                )
+                .join(pages_slim, "url", "left")
+                .withColumn(
+                    "_e",
+                    enrich_page(F.col("html"), F.lit("detail"), F.col("parse_kind")),
+                )
+                .select(
+                    "url", "source", "title", "publish_time", "origin_url",
+                    "province", "city", "county", "site_name",
+                    F.col("_e.text").alias("text"),
+                    F.lit(wave).alias("wave"),
+                )
+            )
+        else:
+            wave_items = details.select(
+                "url", "source", "title", "publish_time", "origin_url",
+                "province", "city", "county", "site_name", "text",
+                F.lit(wave).alias("wave"),
+            )
         # ---- outputs + state transition ----------------------------------
         # new_frontier is the only job here: the wave's counts were
         # observed during the fetch checkpoint, and werr / wave_items
