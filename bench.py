@@ -754,7 +754,7 @@ def main() -> None:
         "data_plane": {
             **{
                 k: v for k, v in parse_pairs[pkey].items()
-                if k.startswith("local") or k == "error"
+                if k.startswith("local") or k in ("error", "retry_skipped_deadline")
             },
             "scaling_efficiency": parse_pairs[pkey]["scaling_efficiency"],
             "pairs": {k: v["scaling_efficiency"] for k, v in parse_pairs.items()},

@@ -189,6 +189,8 @@ def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_name", "c_name", F.round("c_acctbal", 4).alias("c_acctbal"))
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
+        # row_number() is IntegerType; DuckDB's is BIGINT — match widths
+        .withColumn("rk", F.col("rk").cast("long"))
         .orderBy("n_name", "rk")
     )
 

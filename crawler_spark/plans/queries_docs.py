@@ -60,7 +60,10 @@ SQL_SHINGLES = (
 def doc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     return d.select(
-        "doc_id", X.token_count(F.col("text")).alias("n_tokens"), "n_chars"
+        "doc_id",
+        # size() is IntegerType; the oracle's len() is BIGINT — match it
+        X.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        "n_chars",
     ).orderBy("doc_id")
 
 
