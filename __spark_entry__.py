@@ -48,8 +48,8 @@ _GRADE_ORDER = [
     "doc_fluency_buckets", "doc_dup_kgram_windows", "doc_bigram_fluency",
     "docs_link_pagerank", "dedup_simhash_pairs", "dedup_incremental_lsh_gate",
     "dedup_keep_canonical", "dedup_lsh_exact_verify",
-    # --- round-5 additions, cheap-first (sink ~3s, resume ~57s) ---
-    "items_sink_roundtrip", "crawl_resume_roundtrip",
+    # --- round-5 additions, cheap-first (norms ~0.5s, sink ~3s, resume ~57s) ---
+    "embedding_norm_stats", "items_sink_roundtrip", "crawl_resume_roundtrip",
     # --- (any later new queries, absent from this list, slot in HERE) ---
     # --- r04-green (50), ascending measured grade cost ---
     "doc_token_count",
@@ -71,7 +71,7 @@ _GRADE_ORDER = [
     "dedup_lsh_clusters", "events_stream_sessionize", "events_stream_stream_join",
     "crawl_wave_loop",
 ]
-_NEW_SLOT = 46  # unlisted queries insert after the 44 ungraded + 2 round-5
+_NEW_SLOT = 47  # unlisted queries insert after the 44 ungraded + 3 round-5
 
 
 def _registry():

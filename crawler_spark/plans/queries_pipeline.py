@@ -43,6 +43,14 @@ first-class:
   shuffle's summation order cannot produce float drift.  The plan is
   ``posexplode`` + one groupBy on the dimension index — shuffle
   parallelism = vector width, each reducer sees n_rows values.
+- ``embedding_norm_stats`` — per-vector squared-L2-norm histogram per
+  label: the ANN sanity gate (collapsed ≈0-norm or exploded vectors
+  poison cosine top-k and IVF centroids before any search runs).
+  Squared norm is an **in-array ordered fold** in ×10⁶ scaled int64
+  (``transform`` + ``aggregate`` — no explode, nothing shuffles per
+  element), bucketed by integer bit-width (``length(bin(x))`` — exact
+  in both engines, no float log2 at power-of-two edges); the only
+  shuffle keys on (label, bit-width), bounded at ~labels × 64 cells.
 """
 
 from __future__ import annotations
@@ -372,4 +380,68 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("s").alias("max_e6"),
         )
         .orderBy("dim")
+    )
+
+
+# ----------------------------------------------- embedding norm gate
+
+
+@q(
+    "embedding_norm_stats",
+    f"""
+    WITH sq AS (
+      SELECT label,
+             -- list_sum over BIGINT[] widens to HUGEINT (float64 in
+             -- pandas) — pin back to BIGINT to match Spark's int64
+             CAST(list_sum(list_transform(
+               embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * {DIM_SCALE}) AS BIGINT)
+                    * CAST(round(CAST(x AS DOUBLE) * {DIM_SCALE}) AS BIGINT)
+             )) AS BIGINT) AS sq_norm_e12
+      FROM embeddings
+    )
+    SELECT label,
+           CAST(length(bin(sq_norm_e12)) AS BIGINT) AS norm_bits,
+           count(*)         AS n_vecs,
+           min(sq_norm_e12) AS min_sq_e12,
+           max(sq_norm_e12) AS max_sq_e12
+    FROM sq
+    GROUP BY label, norm_bits
+    ORDER BY label, norm_bits
+    """,
+    "embedding sanity gate: per-label squared-L2-norm bit-width "
+    "histogram (collapsed/exploded-vector detection before ANN)",
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector squared L2 norm in exact ×10⁶ scaled int64, folded
+    INSIDE the array column (``transform`` + ``aggregate`` — integer
+    addition, order-immaterial; nothing explodes, nothing shuffles per
+    element), then a bounded histogram keyed on (label, bit-width of
+    the squared norm).  ``length(bin(x))`` is the bucket function
+    because it is exact in both engines — ``floor(log2(x))`` would
+    round differently at power-of-two boundaries.  At 100 TB the only
+    shuffle moves one pre-aggregated row per (label, bit-width) cell
+    per map task."""
+    e = t(spark, sf_dir, "embeddings")
+    s = (
+        "transform(embedding, "
+        f"x -> CAST(round(CAST(x AS DOUBLE) * {DIM_SCALE}) AS BIGINT))"
+    )
+    sq = F.expr(
+        f"aggregate({s}, CAST(0 AS BIGINT), (acc, v) -> acc + v * v)"
+    ).alias("sq_norm_e12")
+    return (
+        e.select("label", sq)
+        .select(
+            "label",
+            F.length(F.expr("bin(sq_norm_e12)")).cast("long").alias("norm_bits"),
+            "sq_norm_e12",
+        )
+        .groupBy("label", "norm_bits")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.min("sq_norm_e12").alias("min_sq_e12"),
+            F.max("sq_norm_e12").alias("max_sq_e12"),
+        )
+        .orderBy("label", "norm_bits")
     )
