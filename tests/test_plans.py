@@ -601,3 +601,17 @@ def test_heldout_bigram_model_never_broadcast_joins_on_keys(spark):
     plan = _plan(doc_heldout_bigram_score(spark, "/root/testdata/sf0.001"))
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_embedding_norm_stats_array_fold_no_explode(spark):
+    """The squared norm folds INSIDE the array column: the plan must
+    contain no Generate (explode) node — per-element rows never exist —
+    no Python eval, and only the bounded (label, norm_bits) aggregate
+    may shuffle."""
+    from crawler_spark.plans.queries_pipeline import embedding_norm_stats
+
+    plan = _plan(embedding_norm_stats(spark, "/root/testdata/sf0.001"))
+    assert "Generate" not in plan  # no posexplode — fold stays in-array
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
