@@ -1699,9 +1699,12 @@ def doc_domain_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
-@q(
-    "dedup_lsh_exact_verify",
-    f"""
+# LSH candidate pairs + exact shingle-set Jaccard, as ONE shared SQL
+# body (no ORDER BY): dedup_lsh_exact_verify grades it row-per-pair and
+# dedup_minhash_calibration aggregates it per signature-agreement level
+# — a single literal so the verify spec cannot drift between the two
+# oracles (same rule as SQL_LINK_EDGES in queries_graph.py).
+_SQL_LSH_VERIFY_BODY = f"""
     WITH sh AS (
       SELECT doc_id, {_SQL_SHINGLE_HASHES} AS sh FROM documents
     ), sig AS (
@@ -1740,8 +1743,12 @@ def doc_domain_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS abs_err
     FROM pairs p JOIN sets sa ON sa.doc_id = p.id_a
                  JOIN sets sb ON sb.doc_id = p.id_b
-    ORDER BY id_a, id_b
-    """.replace("{LSH_MAX_BUCKET}", str(DD.LSH_MAX_BUCKET)),
+""".replace("{LSH_MAX_BUCKET}", str(DD.LSH_MAX_BUCKET))
+
+
+@q(
+    "dedup_lsh_exact_verify",
+    _SQL_LSH_VERIFY_BODY + "    ORDER BY id_a, id_b",
     "LSH exact-verify stage (the second half of production MinHash "
     "dedup): for every band-bucket candidate pair, compute the TRUE "
     "shingle-set Jaccard from the hashed shingle sets and the "
@@ -1793,6 +1800,85 @@ def dedup_lsh_exact_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(F.col("est_jaccard") - exact), 6).alias("abs_err"),
         )
         .orderBy("id_a", "id_b")
+    )
+
+
+@q(
+    "dedup_minhash_calibration",
+    f"""
+    WITH g AS (
+      SELECT CAST(round(est_jaccard * 8) AS INT) AS matches,
+             CAST(round(exact_jaccard * 1000000) AS BIGINT) AS em,
+             CAST(round(abs_err * 1000000) AS BIGINT) AS rm
+      FROM ({_SQL_LSH_VERIFY_BODY}) v
+    )
+    SELECT matches,
+           round(matches / 8.0, 6) AS est_jaccard,
+           count(*) AS n_pairs,
+           round(CAST(sum(em) AS DOUBLE) / (count(*) * 1000000.0), 6)
+             AS mean_exact_jaccard,
+           round(CAST(sum(rm) AS DOUBLE) / (count(*) * 1000000.0), 6)
+             AS mean_abs_err,
+           CAST(sum(CASE WHEN em >= 500000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_true_dups
+    FROM g GROUP BY matches ORDER BY matches
+    """,
+    "MinHash estimator calibration: per signature-agreement level "
+    "(0-8 of 8 bands' rows matching), candidate count, mean TRUE "
+    "shingle-set Jaccard, mean |est - exact|, and how many candidates "
+    "clear the 0.5 dedup threshold — the sketch-error audit a "
+    "production dedup pipeline runs before trusting est_jaccard as "
+    "the cluster edge weight",
+)
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate MinHash sketch error per signature-agreement level.
+
+    The engine measuring its own sketch: for every LSH candidate pair
+    (the same verify spec as ``dedup_lsh_exact_verify`` — one shared
+    SQL literal, so the two oracles cannot drift), bucket by how many
+    of the 8 signature slots agree and report the mean exact Jaccard
+    and mean estimator error per bucket. This is the table that
+    justifies (or refutes) using ``est >= 0.5`` as the cluster edge
+    rule in ``dedup_lsh_clusters``.
+
+    Exactness: per-pair est/exact/err doubles are identical across
+    engines (graded via dedup_lsh_exact_verify); the per-bucket means
+    are summed in int64 MICRO-UNITS (house convention, see
+    doc_domain_reputation) so the fold is summation-order-free — no
+    float drift regardless of partition count. ``matches = est * 8``
+    is exact (k/8 is a dyadic rational, exactly representable).
+
+    Scale shape: input is LSH-bounded candidates (linear in corpus,
+    capped per bucket), the groupBy key has cardinality 9, and the
+    aggregate is a partial-merge sum — map-side combine leaves ~9 rows
+    per task to shuffle. The inner per-pair ORDER BY of the verify
+    query is absent here (composition happens on the un-sorted plan).
+    """
+    v = dedup_lsh_exact_verify(spark, sf_dir)
+    g = v.select(
+        F.round(F.col("est_jaccard") * 8).cast("int").alias("matches"),
+        F.round(F.col("exact_jaccard") * 1e6).cast("long").alias("em"),
+        F.round(F.col("abs_err") * 1e6).cast("long").alias("rm"),
+    )
+    n = F.col("n_pairs")
+    return (
+        g.groupBy("matches")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("em").alias("se"),
+            F.sum("rm").alias("sr"),
+            F.sum(F.when(F.col("em") >= 500000, 1).otherwise(0))
+            .cast("long").alias("n_true_dups"),
+        )
+        .select(
+            "matches",
+            F.round(F.col("matches") / 8.0, 6).alias("est_jaccard"),
+            "n_pairs",
+            F.round(F.col("se") / (n * 1e6), 6).alias("mean_exact_jaccard"),
+            F.round(F.col("sr") / (n * 1e6), 6).alias("mean_abs_err"),
+            "n_true_dups",
+        )
+        .orderBy("matches")
     )
 
 
