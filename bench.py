@@ -829,6 +829,13 @@ def _write_bench_md(r: dict, crawl_pairs: dict, parse_pairs: dict) -> None:
         "Data-plane scaling efficiency per pair: "
         + ", ".join(f"**{k}: {v['scaling_efficiency']}**" for k, v in parse_pairs.items()),
         "",
+        "Readings above 1.0 are measurement artifact, not real "
+        "superlinearity: the 1-slot baseline bears the whole GC/JIT load "
+        "on one thread and is the side most exposed to ambient "
+        "contention; min-of-2 with interleaved levels shrinks but cannot "
+        "eliminate that bias. Read any value ≥ the 0.8 criterion as "
+        "\"scales\", not as a literal speedup factor.",
+        "",
         "## Durable-state tax (LakeStore attached, same corpus)",
         "",
         f"```json\n{json.dumps(r['durable_state'], indent=2)}\n```",
