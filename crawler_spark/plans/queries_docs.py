@@ -2554,3 +2554,119 @@ def ann_quality_gated_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept.withColumnRenamed("doc_id", "vec_id"), "vec_id", "left_semi"
     ).filter(F.col("vec_id") != 0)
     return SIM.brute_force_topk(gated, qvec, k=10).orderBy("rank")
+
+
+@q(
+    "training_corpus_manifest",
+    f"""
+    WITH RECURSIVE {{LSH_CC}},
+    clus AS (
+      SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id
+    ),
+    {{GOPHER}},
+    flags AS (
+      SELECT m.doc_id, CAST(m.n_tok AS BIGINT) AS n_tokens,
+             CASE WHEN {{GOPHER_KEEP}} THEN 1 ELSE 0 END AS q_keep
+      FROM m
+    ),
+    lab AS (
+      SELECT d.doc_id, d.lang, fl.n_tokens, fl.q_keep,
+             (COALESCE(c.cluster_id, d.doc_id) = d.doc_id) AS is_canon
+      FROM documents d
+      LEFT JOIN clus c USING (doc_id)
+      JOIN flags fl USING (doc_id)
+    ),
+    per AS (
+      SELECT lang,
+             count(*) AS n_docs,
+             sum(CASE WHEN NOT is_canon THEN 1 ELSE 0 END) AS dup_removed,
+             sum(CASE WHEN is_canon AND q_keep = 0 THEN 1 ELSE 0 END)
+               AS quality_removed,
+             sum(CASE WHEN is_canon AND q_keep = 1 THEN 1 ELSE 0 END)
+               AS n_kept,
+             sum(CASE WHEN is_canon AND q_keep = 1 THEN n_tokens ELSE 0 END)
+               AS tokens_kept
+      FROM lab GROUP BY lang
+    )
+    SELECT lang,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(dup_removed AS BIGINT) AS dup_removed,
+           CAST(quality_removed AS BIGINT) AS quality_removed,
+           CAST(n_kept AS BIGINT) AS n_kept,
+           CAST(tokens_kept AS BIGINT) AS tokens_kept,
+           round(CAST(tokens_kept AS DOUBLE)
+                 / NULLIF(CAST(sum(tokens_kept) OVER () AS DOUBLE), 0), 6)
+             AS token_share
+    FROM per ORDER BY lang
+    """.replace("{LSH_CC}", _SQL_LSH_CC_CTES)
+       .replace("{GOPHER}", _SQL_GOPHER_CTES)
+       .replace("{GOPHER_KEEP}", _SQL_GOPHER_KEEP),
+    "end-to-end pretraining-corpus manifest: near-dup removal (LSH "
+    "clusters, keep the min-doc_id canonical) then the Gopher quality "
+    "gate on the survivors, rolled up per language — docs in, dups "
+    "removed, quality-filtered, kept, tokens kept, and each language's "
+    "share of the final token budget; the one-page summary a data team "
+    "signs off before a training run",
+)
+def training_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole document pipeline as ONE DAG: dedup -> quality gate ->
+    per-language manifest.
+
+    Composes the normative specs of ``dedup_keep_canonical`` (same
+    shared ``_SQL_LSH_CC_CTES`` clustering literal) and
+    ``doc_gopher_quality_filter`` (same shared ``_SQL_GOPHER_CTES`` /
+    ``_SQL_GOPHER_KEEP`` gate literal), so this query's oracle cannot
+    drift from either stage's. Removal accounting follows pipeline
+    order: a doc counts as ``dup_removed`` if it is not its cluster's
+    canonical representative; the quality gate is then charged only for
+    canonical survivors it rejects.
+
+    Exactness: every aggregate is an int64 count/sum; ``token_share``
+    is one IEEE division of two exact int64 sums, identical across
+    engines (null when nothing survives, via NULLIF / when-guard).
+
+    Scale shape (100 TB): the Gopher flags are a pure map stage
+    (whole-stage codegen, no UDF); the only shuffles are the capped LSH
+    band join + pointer-doubling CC (both linear, hot-bucket capped),
+    one doc_id-keyed join moving (id, lang, int, int) — document text
+    never shuffles — and a groupBy on the bounded-cardinality language
+    key. The final share window runs over the already-aggregated
+    per-language frame (rows == #languages), not the corpus.
+    """
+    from ..engine.driver import _checkpointed
+
+    d = t(spark, sf_dir, "documents")
+    sigs = _checkpointed(DD.minhash_signatures(d))
+    pairs = DD.lsh_candidate_pairs(sigs).filter(F.col("est_jaccard") >= 0.5)
+    clusters = DD.dedup_clusters(pairs, sigs)
+    cols = X.gopher_cols(F.col("text"))
+    flags = d.select(
+        "doc_id", "lang",
+        cols["n_tokens"].alias("n_tokens"),
+        cols["keep"].alias("q_keep"),
+    )
+    labeled = flags.join(clusters, "doc_id", "left").select(
+        "lang", "n_tokens", "q_keep",
+        (F.coalesce(F.col("cluster_id"), F.col("doc_id")) == F.col("doc_id"))
+        .alias("is_canon"),
+    )
+    kept = F.col("is_canon") & (F.col("q_keep") == 1)
+    per = labeled.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(~F.col("is_canon"), 1).otherwise(0))
+        .cast("long").alias("dup_removed"),
+        F.sum(F.when(F.col("is_canon") & (F.col("q_keep") == 0), 1).otherwise(0))
+        .cast("long").alias("quality_removed"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_tokens")).otherwise(0))
+        .cast("long").alias("tokens_kept"),
+    )
+    total = F.sum("tokens_kept").over(Window.partitionBy())
+    return per.select(
+        "lang", "n_docs", "dup_removed", "quality_removed", "n_kept",
+        "tokens_kept",
+        F.round(
+            F.when(total > 0, F.col("tokens_kept").cast("double") / total),
+            6,
+        ).alias("token_share"),
+    ).orderBy("lang")
